@@ -1,0 +1,31 @@
+"""Dynamics model library (pure JAX functions + analytic Jacobians)."""
+
+from .pendulum import pendulum_dynamics, pendulum_state_jacobian, pendulum_control_jacobian
+from .rocket import (
+    RocketParameters,
+    make_rocket_dynamics,
+    make_rocket_state_jacobian,
+    make_rocket_control_jacobian,
+)
+from .single_track import (
+    single_track_model,
+    single_track_state_jacobian,
+    single_track_control_jacobian,
+)
+from .lqr import make_linear_dynamics, quadratic_stage_cost, quadratic_terminal_cost
+
+__all__ = [
+    "pendulum_dynamics",
+    "pendulum_state_jacobian",
+    "pendulum_control_jacobian",
+    "RocketParameters",
+    "make_rocket_dynamics",
+    "make_rocket_state_jacobian",
+    "make_rocket_control_jacobian",
+    "single_track_model",
+    "single_track_state_jacobian",
+    "single_track_control_jacobian",
+    "make_linear_dynamics",
+    "quadratic_stage_cost",
+    "quadratic_terminal_cost",
+]

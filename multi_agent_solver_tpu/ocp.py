@@ -1,0 +1,359 @@
+"""Optimal-control problem definition.
+
+Two-layer TPU-native analogue of the reference's ``OCP`` struct
+(``ocp.hpp:30-237``):
+
+* :class:`OCP` -- a mutable host-side problem description with the same field
+  names and lifecycle methods as the reference (``initialize_problem``,
+  ``verify_problem``, ``reset``, ``update_initial_with_best``, plus mutable
+  ``best_states`` / ``best_controls`` / ``best_cost`` result storage).  Users
+  coming from the reference set the same attributes and call the same methods.
+
+* :class:`OCPSpec` -- the frozen, jittable pytree the solvers actually consume.
+  Array data (initial state, warm-start controls, bounds) are pytree leaves, so
+  a spec can be vmapped/sharded over leading batch axes; functions and
+  dimensions are static metadata hashed into the XLA compilation.
+
+Differences from the reference, by design:
+
+* derivative oracles default to exact AD instead of finite differences
+  (reference installs FD defaults at ``ocp.hpp:117-135``); pass
+  ``derivative_mode='fd'`` to reproduce the reference numerics.
+* analytic derivative overrides take ``(x, u)`` / ``(x, u, t)`` directly rather
+  than the reference's ``(function, x, u)`` convention (``types.hpp:42-50``) --
+  the extra function argument exists there only so FD defaults can close over
+  the callback, which JAX does not need.
+* trajectories are time-major (``[T+1, nx]`` / ``[T, nu]``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .derivatives import Derivatives, make_derivatives
+from .integrators import integrate_horizon, integrate_rk4
+from .types import Array
+
+
+def compute_trajectory_cost(states, controls, stage_cost, terminal_cost):
+    """Total cost: sum of per-stage costs plus terminal cost.
+
+    Reference: ``compute_trajectory_cost`` (ocp.hpp:14-28).  Stage costs are
+    evaluated at ``(x_t, u_t, t)`` for ``t = 0..T-1`` and are NOT scaled by dt,
+    matching the reference.  Vectorized over the horizon with ``vmap`` instead
+    of the reference's sequential accumulation loop.
+    """
+    T = controls.shape[0]
+    ts = jnp.arange(T)
+    stage = jax.vmap(stage_cost)(states[:-1], controls, ts)
+    return jnp.sum(stage) + terminal_cost(states[-1])
+
+
+@struct.dataclass
+class OCPSpec:
+    """Frozen, jittable problem spec (the solver-facing pytree)."""
+
+    # --- dynamic leaves (batchable / shardable) ---
+    initial_state: Array                       # [nx]
+    initial_controls: Array                    # [T, nu] warm start
+    state_lower_bounds: Optional[Array] = None  # [nx] or None
+    state_upper_bounds: Optional[Array] = None
+    input_lower_bounds: Optional[Array] = None  # [nu] or None
+    input_upper_bounds: Optional[Array] = None
+
+    # --- static metadata (part of the compilation key) ---
+    dynamics: Callable = struct.field(pytree_node=False, default=None)
+    stage_cost: Callable = struct.field(pytree_node=False, default=None)
+    terminal_cost: Callable = struct.field(pytree_node=False, default=None)
+    objective_function: Callable = struct.field(pytree_node=False, default=None)
+    equality_constraints: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    inequality_constraints: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    derivs: Derivatives = struct.field(pytree_node=False, default=None)
+    state_dim: int = struct.field(pytree_node=False, default=0)
+    control_dim: int = struct.field(pytree_node=False, default=0)
+    horizon_steps: int = struct.field(pytree_node=False, default=0)
+    eq_dim: int = struct.field(pytree_node=False, default=0)
+    ineq_dim: int = struct.field(pytree_node=False, default=0)
+    dt: float = struct.field(pytree_node=False, default=0.0)
+
+    # Convenience -------------------------------------------------------
+    def rollout(self, controls: Array) -> Array:
+        return integrate_horizon(self.initial_state, controls, self.dt, self.dynamics)
+
+    def cost(self, states: Array, controls: Array) -> Array:
+        return self.objective_function(states, controls)
+
+    @property
+    def has_input_bounds(self) -> bool:
+        """Reference clamps controls only when BOTH input bounds are set
+        (ilqr.hpp:213-214, cgd.hpp:85-88)."""
+        return self.input_lower_bounds is not None and self.input_upper_bounds is not None
+
+    @property
+    def has_state_bounds(self) -> bool:
+        return self.state_lower_bounds is not None or self.state_upper_bounds is not None
+
+
+class OCP:
+    """Mutable host-side problem description mirroring the reference API.
+
+    Attribute names match ``ocp.hpp:30-237`` one-for-one; trajectories are
+    time-major JAX arrays.
+    """
+
+    def __init__(self, **kwargs: Any):
+        # Dimensions
+        self.state_dim: int = 0
+        self.control_dim: int = 0
+        self.horizon_steps: int = 0
+        self.dt: float = 0.0
+        self.id: int = 0
+
+        # Problem functions
+        self.dynamics = None
+        self.stage_cost = lambda x, u, t: jnp.asarray(0.0)
+        self.terminal_cost = lambda x: jnp.asarray(0.0)
+        self.objective_function = None
+
+        # Bounds (None == absent, like the reference's std::optional)
+        self.state_lower_bounds: Optional[Array] = None
+        self.state_upper_bounds: Optional[Array] = None
+        self.input_lower_bounds: Optional[Array] = None
+        self.input_upper_bounds: Optional[Array] = None
+
+        # Path constraints and their optional analytic Jacobians
+        self.equality_constraints = None
+        self.inequality_constraints = None
+        self.equality_constraints_state_jacobian = None
+        self.equality_constraints_control_jacobian = None
+        self.inequality_constraints_state_jacobian = None
+        self.inequality_constraints_control_jacobian = None
+
+        # Optional analytic derivatives (signatures: (x,u) / (x,u,t) / (x))
+        self.dynamics_state_jacobian = None
+        self.dynamics_control_jacobian = None
+        self.cost_state_gradient = None
+        self.cost_control_gradient = None
+        self.cost_state_hessian = None
+        self.cost_control_hessian = None
+        self.cost_cross_term = None
+        self.terminal_cost_gradient = None
+        self.terminal_cost_hessian = None
+
+        # Warm start and result storage
+        self.initial_state: Optional[Array] = None
+        self.initial_states: Optional[Array] = None
+        self.initial_controls: Optional[Array] = None
+        self.best_states: Optional[Array] = None
+        self.best_controls: Optional[Array] = None
+        self.best_cost: float = float("inf")
+
+        # 'ad' (default, exact) or 'fd' (reference-parity finite differences)
+        self.derivative_mode: str = "ad"
+
+        self._spec: Optional[OCPSpec] = None
+        for key, value in kwargs.items():
+            if not hasattr(self, key):
+                raise AttributeError(f"OCP has no field '{key}'")
+            setattr(self, key, value)
+
+    # -- lifecycle (reference: ocp.hpp:83-183) --------------------------
+    def reset(self) -> None:
+        """Zero the controls and re-roll the trajectory (ocp.hpp:83-93)."""
+        dtype = jnp.asarray(self.initial_state).dtype
+        self.initial_controls = jnp.zeros((self.horizon_steps, self.control_dim), dtype)
+        self.initial_states = integrate_horizon(
+            jnp.asarray(self.initial_state), self.initial_controls, self.dt, self.dynamics
+        )
+        self.best_states = self.initial_states
+        self.best_controls = self.initial_controls
+        self.best_cost = float(self.spec().cost(self.initial_states, self.initial_controls))
+
+    def update_initial_with_best(self) -> None:
+        """Warm start from the current best trajectory (ocp.hpp:95-100).
+
+        Only pytree *leaves* of the cached spec change, so jitted solver
+        executables stay cached across Nash sweeps (no retracing).
+        """
+        self.initial_controls = self.best_controls
+        self.initial_states = self.best_states
+
+    def initialize_problem(self) -> None:
+        """Shape-fix controls, roll out, install derivative defaults, and
+        synthesize the objective (reference: ocp.hpp:102-183)."""
+        self.initial_state = jnp.asarray(self.initial_state)
+        dtype = self.initial_state.dtype
+
+        if (
+            self.initial_controls is None
+            or tuple(jnp.asarray(self.initial_controls).shape)
+            != (self.horizon_steps, self.control_dim)
+        ):
+            self.initial_controls = jnp.zeros((self.horizon_steps, self.control_dim), dtype)
+        else:
+            self.initial_controls = jnp.asarray(self.initial_controls, dtype)
+
+        for field in (
+            "state_lower_bounds",
+            "state_upper_bounds",
+            "input_lower_bounds",
+            "input_upper_bounds",
+        ):
+            value = getattr(self, field)
+            if value is not None:
+                setattr(self, field, jnp.asarray(value, dtype))
+
+        self._spec = None
+        spec = self.spec()
+
+        self.initial_states = spec.rollout(self.initial_controls)
+        self.best_states = self.initial_states
+        self.best_controls = self.initial_controls
+        self.best_cost = float(spec.cost(self.initial_states, self.initial_controls))
+
+    def verify_problem(self) -> bool:
+        """Consistency checks (reference: ocp.hpp:186-236, assert-based)."""
+        assert self.state_dim != 0, "No state dimension"
+        assert self.control_dim != 0, "No control dimension"
+        assert self.horizon_steps != 0, "No horizon dimension"
+        assert self.dt != 0.0, "dt is 0.0"
+        assert self.initial_state.shape == (self.state_dim,), (
+            "Initial state size does not match state dimension"
+        )
+        for name, dim in (
+            ("state_lower_bounds", self.state_dim),
+            ("state_upper_bounds", self.state_dim),
+            ("input_lower_bounds", self.control_dim),
+            ("input_upper_bounds", self.control_dim),
+        ):
+            bound = getattr(self, name)
+            if bound is not None:
+                assert bound.shape == (dim,), f"{name} size mismatch"
+
+        spec = self.spec()
+        assert spec.objective_function is not None, "Objective cost function is not set."
+
+        out = jax.eval_shape(self.dynamics, self.best_states[0], self.best_controls[0])
+        assert out.shape == (self.state_dim,), "Dynamics output size mismatch"
+
+        jax.eval_shape(spec.objective_function, self.best_states, self.best_controls)
+        for constraint in (self.inequality_constraints, self.equality_constraints):
+            if constraint is not None:
+                cshape = jax.eval_shape(constraint, self.best_states[0], self.best_controls[0])
+                assert len(cshape.shape) == 1, "Constraints output invalid shape"
+        return True
+
+    # -- solver-facing spec ---------------------------------------------
+    def spec(self) -> OCPSpec:
+        """Return the frozen solver-facing spec.
+
+        The static parts (functions, derivative oracles, dims) are built once
+        and cached; later calls only refresh the array leaves (warm start,
+        bounds).  Call :meth:`invalidate` after mutating problem *functions*.
+        """
+        if self._spec is not None:
+            self._spec = self._spec.replace(
+                initial_state=jnp.asarray(self.initial_state),
+                initial_controls=jnp.asarray(self.initial_controls),
+                state_lower_bounds=self.state_lower_bounds,
+                state_upper_bounds=self.state_upper_bounds,
+                input_lower_bounds=self.input_lower_bounds,
+                input_upper_bounds=self.input_upper_bounds,
+            )
+            return self._spec
+
+        dt = float(self.dt)
+        dynamics = self.dynamics
+        step_map = lambda x, u: integrate_rk4(x, u, dt, dynamics)
+        if self.derivative_mode == "fd":
+            from .finite_differences import fd_jacobian
+
+            step_fx = lambda x, u: fd_jacobian(lambda y: step_map(y, u), x, eps=1e-6)
+            step_fu = lambda x, u: fd_jacobian(lambda w: step_map(x, w), u, eps=1e-6)
+        else:
+            step_fx = jax.jacfwd(step_map, argnums=0)
+            step_fu = jax.jacfwd(step_map, argnums=1)
+
+        derivs = make_derivatives(
+            self.dynamics,
+            self.stage_cost,
+            self.terminal_cost,
+            self.equality_constraints,
+            self.inequality_constraints,
+            mode=self.derivative_mode,
+            step_fx=step_fx,
+            step_fu=step_fu,
+            fx=self.dynamics_state_jacobian,
+            fu=self.dynamics_control_jacobian,
+            lx=self.cost_state_gradient,
+            lu=self.cost_control_gradient,
+            lxx=self.cost_state_hessian,
+            luu=self.cost_control_hessian,
+            lux=self.cost_cross_term,
+            phix=self.terminal_cost_gradient,
+            phixx=self.terminal_cost_hessian,
+            eq_gx=self.equality_constraints_state_jacobian,
+            eq_gu=self.equality_constraints_control_jacobian,
+            ineq_gx=self.inequality_constraints_state_jacobian,
+            ineq_gu=self.inequality_constraints_control_jacobian,
+        )
+
+        objective = self.objective_function
+        if objective is None:
+            stage, terminal = self.stage_cost, self.terminal_cost
+            objective = lambda X, U: compute_trajectory_cost(X, U, stage, terminal)
+
+        # Probe constraint dimensionality once, statically (the analogue of the
+        # reference calling the constraint at the initial state: ilqr.hpp:318-323).
+        eq_dim = ineq_dim = 0
+        x_probe = jnp.asarray(self.initial_state)
+        u_probe = jnp.zeros((self.control_dim,), x_probe.dtype)
+        if self.equality_constraints is not None:
+            eq_dim = int(jax.eval_shape(self.equality_constraints, x_probe, u_probe).shape[0])
+        if self.inequality_constraints is not None:
+            ineq_dim = int(
+                jax.eval_shape(self.inequality_constraints, x_probe, u_probe).shape[0]
+            )
+
+        if self.initial_controls is None:
+            self.initial_controls = jnp.zeros(
+                (self.horizon_steps, self.control_dim), x_probe.dtype
+            )
+
+        self._spec = OCPSpec(
+            initial_state=x_probe,
+            initial_controls=jnp.asarray(self.initial_controls),
+            state_lower_bounds=self.state_lower_bounds,
+            state_upper_bounds=self.state_upper_bounds,
+            input_lower_bounds=self.input_lower_bounds,
+            input_upper_bounds=self.input_upper_bounds,
+            dynamics=self.dynamics,
+            stage_cost=self.stage_cost,
+            terminal_cost=self.terminal_cost,
+            objective_function=objective,
+            equality_constraints=self.equality_constraints,
+            inequality_constraints=self.inequality_constraints,
+            derivs=derivs,
+            state_dim=self.state_dim,
+            control_dim=self.control_dim,
+            horizon_steps=self.horizon_steps,
+            eq_dim=eq_dim,
+            ineq_dim=ineq_dim,
+            dt=float(self.dt),
+        )
+        return self._spec
+
+    def invalidate(self) -> None:
+        """Drop the cached spec (required after mutating problem functions)."""
+        self._spec = None
+
+    def set_result(self, states: Array, controls: Array, cost) -> None:
+        """Store a solver result (the analogue of solvers mutating best_*)."""
+        self.best_states = states
+        self.best_controls = controls
+        self.best_cost = float(cost)

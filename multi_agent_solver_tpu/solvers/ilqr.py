@@ -1,0 +1,337 @@
+"""Augmented-Lagrangian iLQR, TPU-native.
+
+Behavioural analogue of the reference solver (``solvers/ilqr.hpp:23-461``),
+re-architected for XLA/TPU:
+
+* **Linearization is batched over the horizon**: dynamics Jacobians, cost
+  gradients/Hessians and constraint residuals/Jacobians for all T stages are
+  produced by ``vmap`` in a handful of fused launches (the reference evaluates
+  them stage-by-stage inside the backward loop, ilqr.hpp:106-113).
+* **The Riccati recursion is a ``lax.scan``** carrying ``(v_x, v_xx)``; only
+  the truly sequential value recursion remains sequential.
+* **Regularization retries become a static ladder** of batched Cholesky
+  candidates (see :mod:`multi_agent_solver_tpu.ops.psd`; reference retry loop:
+  ilqr.hpp:172-183).
+* **The forward line search evaluates every alpha in parallel**: one batched
+  feedback rollout with a lane per candidate step, then a branch-free select
+  of the largest improving alpha -- exactly equivalent to the reference's
+  first-accept halving loop (ilqr.hpp:199-228) because alphas are tested in
+  decreasing order there.
+* **Outer iterations are a ``lax.while_loop``** with a convergence flag, so
+  batched (vmapped) problem instances can converge at different iterations.
+
+Parity notes (deliberately preserved reference behaviour):
+
+* The *continuous-time* dynamics Jacobians are used directly as the discrete
+  transition matrices in the Riccati recursion, exactly as the reference does
+  (ilqr.hpp:106-119) even though the rollout integrates RK4.
+* The merit function is the AL-augmented objective with an activation mask on
+  inequalities (compute_merit, ilqr.hpp:379-407).
+* Dual updates and the penalty schedule run every iteration after the line
+  search (ilqr.hpp:239-260); convergence requires merit improvement below
+  tolerance AND violations below constraint_tolerance (ilqr.hpp:269-271).
+* ``max_ms`` wall-clock budgets are not representable inside a compiled TPU
+  program; iteration counts are the budget (see docs/DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..constraints import eval_constraints_horizon
+from ..integrators import integrate_rk4
+from ..ocp import OCPSpec
+from ..ops.psd import cholesky_with_escalation
+from ..types import Array, SolverParams, get_param, param_flag
+from .base import SolveResult, SolverBase, register_solver
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Static solver configuration (reference defaults: ilqr.hpp:26-37)."""
+
+    max_iterations: int = 50
+    tolerance: float = 1e-6
+    penalty: float = 10.0
+    penalty_increase: float = 5.0
+    constraint_tolerance: float = 1e-4
+    inequality_activation_tolerance: float = 1e-6
+    alpha_min: float = 1e-3       # forward-pass floor (ilqr.hpp:199)
+    reg_init: float = 1e-6        # q_uu regularization ladder (ilqr.hpp:174)
+    reg_factor: float = 10.0
+    reg_levels: int = 16
+    # 'discrete' (default): exact Jacobians of the RK4 step map, obtained by
+    # AD through the integrator -- the mathematically correct discrete-time
+    # Riccati recursion.  'continuous': reproduce the reference exactly, which
+    # feeds raw continuous-time dynamics Jacobians into the recursion
+    # (ilqr.hpp:106-119) and consequently stalls far from the optimum on e.g.
+    # the single-track benchmark (see docs/PARITY.md).
+    jacobian_mode: str = "discrete"
+    debug: bool = False
+
+    @classmethod
+    def from_params(cls, params: SolverParams) -> "ILQRConfig":
+        """Reference key names (ilqr.hpp:39-55); max_iterations/tolerance/max_ms
+        required there -- max_ms is accepted and ignored (not jittable)."""
+        return cls(
+            max_iterations=int(get_param(params, "max_iterations")),
+            tolerance=get_param(params, "tolerance"),
+            penalty=get_param(params, "penalty", 10.0),
+            penalty_increase=get_param(params, "penalty_increase", 5.0),
+            constraint_tolerance=get_param(params, "constraint_tolerance", 1e-4),
+            inequality_activation_tolerance=get_param(
+                params, "inequality_activation_tolerance", 1e-6
+            ),
+            jacobian_mode=(
+                "continuous" if param_flag(params, "continuous_jacobians") else "discrete"
+            ),
+            debug=param_flag(params, "debug"),
+        )
+
+
+def _alpha_ladder(alpha_min: float, dtype) -> Array:
+    """Forward-pass candidates 1, 1/2, 1/4, ... down to alpha_min (ilqr.hpp:199-206)."""
+    alphas = []
+    alpha = 1.0
+    while alpha >= alpha_min:
+        alphas.append(alpha)
+        alpha *= 0.5
+    return jnp.asarray(alphas, dtype)
+
+
+def compute_merit(
+    spec: OCPSpec,
+    config: ILQRConfig,
+    states: Array,
+    controls: Array,
+    eq_mult: Array,
+    ineq_mult: Array,
+    rho: Array,
+) -> Array:
+    """AL merit with inequality activation mask (reference: ilqr.hpp:379-407)."""
+    merit = spec.objective_function(states, controls)
+    if spec.eq_dim > 0:
+        g = eval_constraints_horizon(spec.equality_constraints, states, controls)
+        merit = merit + jnp.sum(eq_mult * g) + 0.5 * rho * jnp.sum(g**2)
+    if spec.ineq_dim > 0:
+        h = eval_constraints_horizon(spec.inequality_constraints, states, controls)
+        slack = jnp.maximum(h, 0.0)
+        active = (h > -config.inequality_activation_tolerance).astype(states.dtype)
+        active_slack = slack * active
+        merit = merit + jnp.sum((ineq_mult * active) * active_slack)
+        merit = merit + 0.5 * rho * jnp.sum(active_slack**2)
+    return merit
+
+
+def _linearize(spec: OCPSpec, config: "ILQRConfig", xs: Array, us: Array):
+    """Stage-wise derivatives for the whole horizon in batched launches."""
+    d = spec.derivs
+    ts = jnp.arange(spec.horizon_steps)
+    x, u = xs[:-1], us
+    if config.jacobian_mode == "discrete" and d.step_fx is not None:
+        A = jax.vmap(d.step_fx)(x, u)  # [T, nx, nx] exact d(step)/dx
+        B = jax.vmap(d.step_fu)(x, u)  # [T, nx, nu] exact d(step)/du
+    else:
+        A = jax.vmap(d.fx)(x, u)      # [T, nx, nx] continuous (reference parity)
+        B = jax.vmap(d.fu)(x, u)      # [T, nx, nu]
+    lx = jax.vmap(d.lx)(x, u, ts)     # [T, nx]
+    lu = jax.vmap(d.lu)(x, u, ts)     # [T, nu]
+    lxx = jax.vmap(d.lxx)(x, u, ts)   # [T, nx, nx]
+    luu = jax.vmap(d.luu)(x, u, ts)   # [T, nu, nu]
+    lux = jax.vmap(d.lux)(x, u, ts)   # [T, nu, nx]
+    return A, B, lx, lu, lxx, luu, lux
+
+
+def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho):
+    """Fold AL constraint contributions into the stage derivatives.
+
+    These terms are purely local per stage (they do not involve the value
+    function), so they move out of the reference's backward loop
+    (ilqr.hpp:121-169) into one batched computation.
+    """
+    d = spec.derivs
+    x, u = xs[:-1], us
+    if spec.eq_dim > 0:
+        g = eval_constraints_horizon(spec.equality_constraints, xs, us)   # [T, m]
+        Gx = jax.vmap(d.eq_gx)(x, u)                                      # [T, m, nx]
+        Gu = jax.vmap(d.eq_gu)(x, u)                                      # [T, m, nu]
+        dual = eq_mult + rho * g                                          # [T, m]
+        lx = lx + jnp.einsum("tmi,tm->ti", Gx, dual)
+        lu = lu + jnp.einsum("tmi,tm->ti", Gu, dual)
+        lxx = lxx + rho * jnp.einsum("tmi,tmj->tij", Gx, Gx)
+        lux = lux + rho * jnp.einsum("tmi,tmj->tij", Gu, Gx)
+        luu = luu + rho * jnp.einsum("tmi,tmj->tij", Gu, Gu)
+    if spec.ineq_dim > 0:
+        h = eval_constraints_horizon(spec.inequality_constraints, xs, us)
+        Hx = jax.vmap(d.ineq_gx)(x, u)
+        Hu = jax.vmap(d.ineq_gu)(x, u)
+        slack = jnp.maximum(h, 0.0)
+        active = (h > -config.inequality_activation_tolerance).astype(h.dtype)
+        dual = ineq_mult * active + rho * slack * active                  # ilqr.hpp:155-158
+        lx = lx + jnp.einsum("tmi,tm->ti", Hx, dual)
+        lu = lu + jnp.einsum("tmi,tm->ti", Hu, dual)
+        # Gauss-Newton Hessians masked by the active set (ilqr.hpp:163-169).
+        lxx = lxx + rho * jnp.einsum("tmi,tm,tmj->tij", Hx, active, Hx)
+        lux = lux + rho * jnp.einsum("tmi,tm,tmj->tij", Hu, active, Hx)
+        luu = luu + rho * jnp.einsum("tmi,tm,tmj->tij", Hu, active, Hu)
+    return lx, lu, lxx, luu, lux
+
+
+def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux):
+    """Riccati recursion as a reverse scan (reference loop: ilqr.hpp:104-193)."""
+    v_x = spec.derivs.phix(xs[-1])
+    v_xx = spec.derivs.phixx(xs[-1])
+    v_xx = 0.5 * (v_xx + v_xx.T)  # ilqr.hpp:102
+
+    def step(carry, inputs):
+        v_x, v_xx = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inputs
+        q_x = lx_t + A_t.T @ v_x
+        q_u = lu_t + B_t.T @ v_x
+        q_xx = lxx_t + A_t.T @ v_xx @ A_t
+        q_ux = lux_t + B_t.T @ v_xx @ A_t
+        q_uu = luu_t + B_t.T @ v_xx @ B_t
+
+        chol, _ = cholesky_with_escalation(
+            q_uu, config.reg_init, config.reg_factor, config.reg_levels
+        )
+        rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)
+        sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        k_t = -sol[:, 0]
+        K_t = -sol[:, 1:]
+
+        # Value recursion incl. K^T q_uu k terms (ilqr.hpp:188-192).
+        v_x_new = q_x + K_t.T @ q_u + q_ux.T @ k_t + K_t.T @ (q_uu @ k_t)
+        v_xx_new = q_xx + K_t.T @ q_ux + q_ux.T @ K_t + K_t.T @ q_uu @ K_t
+        v_xx_new = 0.5 * (v_xx_new + v_xx_new.T)
+        return (v_x_new, v_xx_new), (k_t, K_t)
+
+    _, (k, K) = jax.lax.scan(step, (v_x, v_xx), (A, B, lx, lu, lxx, luu, lux), reverse=True)
+    return k, K
+
+
+def _forward_pass(spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, current_merit):
+    """All-alpha batched feedback rollout + branch-free accept.
+
+    Equivalent to the reference's decreasing-alpha first-accept loop
+    (ilqr.hpp:199-228): the largest alpha whose merit improves wins.
+    """
+    alphas = _alpha_ladder(config.alpha_min, xs.dtype)
+
+    def rollout(alpha):
+        def step(x_t, inp):
+            x_ref, u_ref, k_t, K_t = inp
+            u_t = u_ref + alpha * k_t + K_t @ (x_t - x_ref)
+            if spec.has_input_bounds:  # ilqr.hpp:213-214
+                u_t = jnp.clip(u_t, spec.input_lower_bounds, spec.input_upper_bounds)
+            x_next = integrate_rk4(x_t, u_t, spec.dt, spec.dynamics)
+            return x_next, (x_next, u_t)
+
+        _, (x_tail, u_new) = jax.lax.scan(step, xs[0], (xs[:-1], us, k, K))
+        x_new = jnp.concatenate([xs[:1], x_tail], axis=0)
+        return x_new, u_new
+
+    xs_cand, us_cand = jax.vmap(rollout)(alphas)  # [A, T+1, nx], [A, T, nu]
+    merits = jax.vmap(
+        lambda X, U: compute_merit(spec, config, X, U, eq_mult, ineq_mult, rho)
+    )(xs_cand, us_cand)
+
+    accept = merits < current_merit
+    idx = jnp.argmax(accept)
+    found = jnp.any(accept)
+    x_new = jnp.where(found, xs_cand[idx], xs)
+    u_new = jnp.where(found, us_cand[idx], us)
+    merit_new = jnp.where(found, merits[idx], current_merit)
+    return x_new, u_new, merit_new
+
+
+def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
+    """Pure functional AL-iLQR solve (jittable, vmappable)."""
+    T = spec.horizon_steps
+    dtype = spec.initial_state.dtype
+
+    us0 = spec.initial_controls
+    xs0 = spec.rollout(us0)
+    cost0 = spec.cost(xs0, us0)
+
+    eq_mult0 = jnp.zeros((T, spec.eq_dim), dtype)
+    ineq_mult0 = jnp.zeros((T, spec.ineq_dim), dtype)
+    rho0 = jnp.asarray(config.penalty, dtype)
+    merit0 = compute_merit(spec, config, xs0, us0, eq_mult0, ineq_mult0, rho0)
+
+    def cond(state):
+        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
+        return (it < config.max_iterations) & ~converged
+
+    def body(state):
+        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, _, _ = state
+
+        A, B, lx, lu, lxx, luu, lux = _linearize(spec, config, xs, us)
+        lx, lu, lxx, luu, lux = _add_al_terms(
+            spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho
+        )
+        k, K = _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux)
+        xs_new, us_new, merit_new = _forward_pass(
+            spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, merit
+        )
+
+        improvement = merit - merit_new
+        cost_new = spec.cost(xs_new, us_new)
+
+        # Dual updates + penalty schedule (ilqr.hpp:239-260).
+        eq_viol = ineq_viol = jnp.asarray(0.0, dtype)
+        if spec.eq_dim > 0:
+            g = eval_constraints_horizon(spec.equality_constraints, xs_new, us_new)
+            eq_mult = eq_mult + rho * g
+            eq_viol = jnp.sqrt(jnp.sum(g**2))
+        if spec.ineq_dim > 0:
+            h = eval_constraints_horizon(spec.inequality_constraints, xs_new, us_new)
+            positive = jnp.maximum(h, 0.0)
+            ineq_mult = jnp.maximum(ineq_mult + rho * positive, 0.0)
+            ineq_viol = jnp.sqrt(jnp.sum(positive**2))
+
+        rho = jnp.where(
+            (eq_viol > config.constraint_tolerance)
+            | (ineq_viol > config.constraint_tolerance),
+            rho * config.penalty_increase,
+            rho,
+        )
+
+        converged = (
+            (improvement < config.tolerance)
+            & (eq_viol < config.constraint_tolerance)
+            & (ineq_viol < config.constraint_tolerance)
+        )
+        return (
+            xs_new, us_new, cost_new, merit_new, eq_mult, ineq_mult, rho,
+            it + 1, converged, eq_viol, ineq_viol,
+        )
+
+    zero = jnp.asarray(0.0, dtype)
+    init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), zero, zero)
+    xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return SolveResult(
+        states=xs,
+        controls=us,
+        cost=cost,
+        iterations=it,
+        converged=converged,
+        merit=merit,
+        eq_violation=eqv,
+        ineq_violation=inv,
+    )
+
+
+@register_solver
+class ILQR(SolverBase):
+    """Host-side iLQR with the reference's ``set_params``/``solve`` surface."""
+
+    name = "ilqr"
+    config_cls = ILQRConfig
+    _solve_fn = staticmethod(solve_ilqr)

@@ -1,0 +1,121 @@
+"""Multi-agent problem and strategy tests.
+
+Re-expresses the reference's MultiAgentProblem test (ocp_tests.cpp:76-154)
+and adds strategy-level checks the reference lacks.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from multi_agent_solver_tpu import (
+    Agent,
+    MultiAgentProblem,
+    OCP,
+    make_solver,
+    make_strategy,
+    solve_multi_agent,
+)
+from multi_agent_solver_tpu.examples.multi_agent_lqr import build_problem as build_lqr
+from multi_agent_solver_tpu.examples.multi_agent_single_track import (
+    build_problem as build_track,
+)
+
+PARAMS = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 100}
+
+
+class TestMultiAgentProblem:
+    def test_build_global_problem_merges_agents(self):
+        """ocp_tests.cpp:76-154: 2 heterogeneous agents (2s/1c + 1s/2c),
+        id-sorted offsets, merged dims/initial state/input bounds,
+        block-diagonal dynamics and summed costs."""
+        a = OCP(
+            state_dim=2, control_dim=1, horizon_steps=5, dt=0.1,
+            initial_state=jnp.array([1.0, 2.0]),
+            dynamics=lambda x, u: jnp.stack([x[1], u[0]]),
+            stage_cost=lambda x, u, t: jnp.sum(x**2) + jnp.sum(u**2),
+            input_lower_bounds=jnp.array([-1.0]),
+            input_upper_bounds=jnp.array([1.0]),
+        )
+        b = OCP(
+            state_dim=1, control_dim=2, horizon_steps=5, dt=0.1,
+            initial_state=jnp.array([3.0]),
+            dynamics=lambda x, u: jnp.array([u[0] + u[1]]),
+            stage_cost=lambda x, u, t: 2.0 * jnp.sum(x**2),
+            input_lower_bounds=jnp.array([-2.0, -2.0]),
+            input_upper_bounds=jnp.array([2.0, 2.0]),
+        )
+        a.initialize_problem()
+        b.initialize_problem()
+
+        problem = MultiAgentProblem()
+        problem.add_agent(Agent(1, b))   # added out of id order on purpose
+        problem.add_agent(Agent(0, a))
+        problem.compute_offsets()
+
+        assert [blk.agent_id for blk in problem.blocks] == [0, 1]
+        assert problem.blocks[0].state_offset == 0
+        assert problem.blocks[1].state_offset == 2
+        assert problem.blocks[1].control_offset == 1
+        assert problem.total_state_dim == 3
+        assert problem.total_control_dim == 3
+
+        g = problem.build_global_ocp()
+        np.testing.assert_array_equal(np.array(g.initial_state), [1.0, 2.0, 3.0])
+        np.testing.assert_array_equal(np.array(g.input_lower_bounds), [-1.0, -2.0, -2.0])
+        np.testing.assert_array_equal(np.array(g.input_upper_bounds), [1.0, 2.0, 2.0])
+
+        # Block-diagonal dynamics evaluate each agent on its slice.
+        x = jnp.array([1.0, 2.0, 3.0])
+        u = jnp.array([0.5, -0.25, 0.75])
+        np.testing.assert_allclose(
+            np.array(g.dynamics(x, u)), [2.0, 0.5, 0.5], atol=1e-12
+        )
+        # Summed stage costs.
+        want = float(a.stage_cost(x[:2], u[:1], 0) + b.stage_cost(x[2:], u[1:], 0))
+        np.testing.assert_allclose(float(g.stage_cost(x, u, 0)), want, rtol=1e-12)
+
+    def test_global_solve_matches_independent_solves(self):
+        """Agents are uncoupled, so the centralized joint solve must match
+        per-agent solves."""
+        problem = build_lqr(3)
+        solver = make_solver("ilqr", PARAMS)
+        strategy = make_strategy("centralized", solver, PARAMS, 10)
+        solution = solve_multi_agent(strategy, problem)
+
+        single = build_lqr(1)
+        s = make_solver("ilqr", PARAMS)
+        strat = make_strategy("centralized", s, PARAMS, 10)
+        sol1 = solve_multi_agent(strat, single)
+        np.testing.assert_allclose(
+            solution.total_cost, 3 * sol1.total_cost, rtol=1e-6
+        )
+
+
+class TestNashStrategies:
+    def test_all_strategies_agree_on_uncoupled_problem(self):
+        """With no inter-agent coupling, every strategy should find the same
+        (independent) optimum."""
+        costs = {}
+        for name in ["sequential", "trustregion", "centralized", "linesearch"]:
+            problem = build_track(3)
+            solver = make_solver("ilqr")
+            strategy = make_strategy(
+                name, solver, {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1000}, 5
+            )
+            solution = solve_multi_agent(strategy, problem)
+            costs[name] = solution.total_cost
+            assert len(solution.states) == 3
+            assert solution.states[0].shape == (11, 4)
+        base = costs["centralized"]
+        for name, cost in costs.items():
+            np.testing.assert_allclose(cost, base, rtol=2e-2, err_msg=name)
+
+    def test_sequential_warm_start_improves_or_holds(self):
+        problem = build_track(2)
+        solver = make_solver("ilqr")
+        strategy = make_strategy(
+            "sequential", solver, {"max_iterations": 5, "tolerance": 1e-5, "max_ms": 1000}, 1
+        )
+        sol1 = solve_multi_agent(strategy, problem)
+        sol2 = solve_multi_agent(strategy, problem)  # warm-started second sweep
+        assert sol2.total_cost <= sol1.total_cost + 1e-6
