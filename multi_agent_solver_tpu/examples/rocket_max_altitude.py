@@ -62,6 +62,10 @@ def create_max_altitude_rocket_ocp() -> OCP:
         return jnp.zeros((3, 3)).at[1, 1].set(W_TERMINAL_VELOCITY)
 
     big = jnp.finfo(jnp.result_type(float)).max
+    # The reference builds its lower state bounds with
+    # std::numeric_limits<double>::min() (rocket_max_altitude.cpp:122) -- the
+    # smallest POSITIVE double, i.e. effectively zero -- so its QP solvers
+    # enforce h >= 0 and v >= 0 as well as the mass bound.  Mirror that.
     ocp = OCP(
         state_dim=3,
         control_dim=1,
@@ -81,8 +85,7 @@ def create_max_altitude_rocket_ocp() -> OCP:
         dynamics_control_jacobian=make_rocket_control_jacobian(params),
         input_lower_bounds=jnp.array([0.0]),
         input_upper_bounds=jnp.array([MAX_THRUST]),
-        # Mass within [0, m0]; other states unbounded (rocket_max_altitude.cpp:122-128).
-        state_lower_bounds=jnp.array([-big, -big, 0.0]),
+        state_lower_bounds=jnp.array([0.0, 0.0, 0.0]),
         state_upper_bounds=jnp.array([big, big, params.initial_mass]),
         initial_controls=jnp.full((50, 1), MAX_THRUST / 2.0),
     )

@@ -16,8 +16,11 @@ from .base import (
     normalize_key,
     register_solver,
 )
+from .admm_qp import ADMMConfig, QPSolution, solve_box_qp
 from .cgd import CGD, CGDConfig, solve_cgd
 from .ilqr import ILQR, ILQRConfig, solve_ilqr
+from .osqp_shooting import OSQP, OSQPShootingConfig, solve_osqp_shooting
+from .osqp_collocation import OSQPCollocation, OSQPCollocationConfig, solve_osqp_collocation
 
 
 def solve(solver: SolverBase, problem) -> SolveResult:
@@ -41,10 +44,19 @@ __all__ = [
     "register_solver",
     "solve",
     "set_params",
+    "ADMMConfig",
+    "QPSolution",
+    "solve_box_qp",
     "CGD",
     "CGDConfig",
     "solve_cgd",
     "ILQR",
     "ILQRConfig",
     "solve_ilqr",
+    "OSQP",
+    "OSQPShootingConfig",
+    "solve_osqp_shooting",
+    "OSQPCollocation",
+    "OSQPCollocationConfig",
+    "solve_osqp_collocation",
 ]

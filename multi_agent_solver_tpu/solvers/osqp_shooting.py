@@ -1,0 +1,196 @@
+"""Shooting SQP with an ADMM box-QP subproblem ("osqp" solver).
+
+Behavioural analogue of the reference's ``solvers/osqp.hpp:33-416``, with the
+OSQP C library replaced by the batched native ADMM solver
+(:mod:`multi_agent_solver_tpu.solvers.admm_qp`).
+
+Preserved reference semantics:
+
+* decision vector ``z = [x_0..x_T, u_0..u_{T-1}]`` (osqp.hpp:240);
+* **diagonal-only** Hessian with floor ``max(diag + reg, 1e-6)``
+  (osqp.hpp:272-311);
+* dynamics rows ``x_{t+1} - A_t x_t - B_t u_t`` with ``lb = ub = 0`` and the
+  *continuous-time* dynamics Jacobians -- the reference neither adds the
+  affine defect term nor discretizes (osqp.hpp:344-361, 386-387), making the
+  QP a crude model whose answer is only used as a search direction;
+* identity rows bounding every state and control, +-infinity when unset
+  (osqp.hpp:363-407);
+* outer loop: solve QP, extract ``u_candidate`` from the solution tail,
+  Armijo along ``-d_u`` where ``d_u = u - u_candidate`` (i.e. interpolate
+  toward the QP answer), accept on true-cost decrease else stop; converge on
+  ``|cost - cost_new| < tolerance`` (osqp.hpp:122-198);
+* QP warm starts carry across SQP iterations (the analogue of the persistent
+  OSQP workspace, osqp.hpp:90-110).
+
+TPU-first re-design: the QP matrices assemble with static (numpy-computed)
+scatter indices and batched Jacobian stacks -- no sparse triplets -- and the
+whole SQP loop is one jitted/vmappable program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..line_search import armijo_line_search
+from ..ocp import OCPSpec
+from ..types import Array, SolverParams, get_param, param_flag
+from .admm_qp import ADMMConfig, INFTY, solve_box_qp
+from .base import SolveResult, SolverBase, register_solver
+
+
+@dataclasses.dataclass(frozen=True)
+class OSQPShootingConfig:
+    max_iterations: int = 20
+    tolerance: float = 1e-4
+    hessian_floor: float = 1e-6          # osqp.hpp:283 max(diag+reg, 1e-6)
+    qp_max_iterations: int = 1000        # setMaxIteration(1000), osqp.hpp:52
+    qp_eps: float = 1e-3                 # OSQP default tolerances
+    debug: bool = False
+
+    @classmethod
+    def from_params(cls, params: SolverParams) -> "OSQPShootingConfig":
+        return cls(
+            max_iterations=int(get_param(params, "max_iterations")),
+            tolerance=get_param(params, "tolerance"),
+            debug=param_flag(params, "debug"),
+        )
+
+
+def _shooting_indices(T: int, nx: int, nu: int):
+    """Static scatter indices for the dense constraint matrix."""
+    n = (T + 1) * nx + T * nu
+    n_dyn = T * nx
+    n_sb = (T + 1) * nx
+    n_cb = T * nu
+    m = n_dyn + n_sb + n_cb
+
+    t = np.arange(T)[:, None, None]
+    i = np.arange(nx)[None, :, None]
+    jx = np.arange(nx)[None, None, :]
+    ju = np.arange(nu)[None, None, :]
+
+    rows_A = np.broadcast_to(t * nx + i, (T, nx, nx))
+    cols_A = np.broadcast_to(t * nx + jx, (T, nx, nx))
+    rows_B = np.broadcast_to(t * nx + i[:, :, :1], (T, nx, nu))
+    cols_B = np.broadcast_to((T + 1) * nx + t * nu + ju, (T, nx, nu))
+
+    base = np.zeros((m, n))
+    # +I at x_{t+1} in dynamics rows.
+    r = np.arange(n_dyn)
+    base[r, nx + r] = 1.0
+    # identity rows for state bounds then control bounds.
+    r2 = np.arange(n_sb + n_cb)
+    base[n_dyn + r2, r2] = 1.0
+    return base, (rows_A, cols_A, rows_B, cols_B), (m, n, n_dyn, n_sb, n_cb)
+
+
+def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResult:
+    T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
+    dtype = spec.initial_state.dtype
+    d = spec.derivs
+
+    base_np, (rows_A, cols_A, rows_B, cols_B), (m, n, n_dyn, n_sb, n_cb) = (
+        _shooting_indices(T, nx, nu)
+    )
+    A_base = jnp.asarray(base_np, dtype)
+
+    # Bound rows are constant across iterations (osqp.hpp:386-407).
+    def bound_vec(bound, default, count_t, dim):
+        if bound is None:
+            return jnp.full((count_t * dim,), default, dtype)
+        return jnp.tile(bound, count_t)
+
+    lb = jnp.concatenate([
+        jnp.zeros((n_dyn,), dtype),                                     # lb=ub=0 dyn rows
+        bound_vec(spec.state_lower_bounds, -INFTY, T + 1, nx),
+        bound_vec(spec.input_lower_bounds, -INFTY, T, nu),
+    ])
+    ub = jnp.concatenate([
+        jnp.zeros((n_dyn,), dtype),
+        bound_vec(spec.state_upper_bounds, INFTY, T + 1, nx),
+        bound_vec(spec.input_upper_bounds, INFTY, T, nu),
+    ])
+
+    qp_config = ADMMConfig(
+        max_iterations=config.qp_max_iterations,
+        eps_abs=config.qp_eps,
+        eps_rel=config.qp_eps,
+    )
+
+    ts = jnp.arange(T)
+
+    def assemble(xs, us):
+        """P_diag, q, A for the current linearization (osqp.hpp:272-408)."""
+        x, u = xs[:-1], us
+        Q_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.lxx(a, b, t)))(x, u, ts)
+        QT_diag = jnp.diagonal(d.phixx(xs[-1]))
+        R_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.luu(a, b, t)))(x, u, ts)
+        P_diag = jnp.concatenate([
+            jnp.maximum(Q_diag.reshape(-1), config.hessian_floor),
+            jnp.maximum(QT_diag, config.hessian_floor),
+            jnp.maximum(R_diag.reshape(-1), config.hessian_floor),
+        ])
+
+        q = jnp.concatenate([
+            jax.vmap(d.lx)(x, u, ts).reshape(-1),
+            d.phix(xs[-1]),
+            jax.vmap(d.lu)(x, u, ts).reshape(-1),
+        ])
+
+        A_t = jax.vmap(d.fx)(x, u)   # continuous Jacobians (parity, osqp.hpp:351)
+        B_t = jax.vmap(d.fu)(x, u)
+        A_mat = A_base.at[rows_A, cols_A].add(-A_t).at[rows_B, cols_B].add(-B_t)
+        return P_diag, q, A_mat
+
+    us0 = spec.initial_controls
+    xs0 = spec.rollout(us0)
+    cost0 = spec.cost(xs0, us0)
+
+    def cond(state):
+        return (state[6] < config.max_iterations) & ~state[7]
+
+    def body(state):
+        xs, us, cost, x_warm, y_warm, _, it, _ = state
+        P_diag, q, A_mat = assemble(xs, us)
+        qp = solve_box_qp(P_diag, q, A_mat, lb, ub, qp_config, x0=x_warm, y0=y_warm)
+
+        u_candidate = qp.x[(T + 1) * nx:].reshape(T, nu)
+        d_u = us - u_candidate                     # osqp.hpp:168
+        alpha = armijo_line_search(
+            spec.initial_state, us, d_u, spec.dynamics, spec.objective_function, spec.dt
+        )
+        u_new = us - alpha * d_u
+        xs_new = spec.rollout(u_new)
+        cost_new = spec.cost(xs_new, u_new)
+
+        small_change = jnp.abs(cost - cost_new) < config.tolerance
+        improved = cost_new < cost
+        accept = small_change | improved           # osqp.hpp:177-190
+        done = small_change | ~improved            # stop on converge or regression
+
+        xs = jnp.where(accept, xs_new, xs)
+        us = jnp.where(accept, u_new, us)
+        cost = jnp.where(accept, cost_new, cost)
+        return (xs, us, cost, qp.x, qp.y, qp.iterations, it + 1, done)
+
+    init = (
+        xs0, us0, cost0,
+        jnp.zeros((n,), dtype), jnp.zeros((m,), dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    xs, us, cost, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+
+
+@register_solver
+class OSQP(SolverBase):
+    """Host-side shooting SQP with the reference's API surface."""
+
+    name = "osqp"
+    config_cls = OSQPShootingConfig
+    _solve_fn = staticmethod(solve_osqp_shooting)
