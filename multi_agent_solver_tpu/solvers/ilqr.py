@@ -44,7 +44,7 @@ import jax.numpy as jnp
 from ..constraints import eval_constraints_horizon
 from ..integrators import integrate_rk4
 from ..ocp import OCPSpec
-from ..ops.psd import cholesky_with_escalation
+from ..ops.small import psd_solve_with_escalation
 from ..types import Array, SolverParams, get_param, param_flag
 from .base import SolveResult, SolverBase, register_solver
 
@@ -195,11 +195,10 @@ def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux):
         q_ux = lux_t + B_t.T @ v_xx @ A_t
         q_uu = luu_t + B_t.T @ v_xx @ B_t
 
-        chol, _ = cholesky_with_escalation(
-            q_uu, config.reg_init, config.reg_factor, config.reg_levels
-        )
         rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)
-        sol = jax.scipy.linalg.cho_solve((chol, True), rhs)
+        sol, _ = psd_solve_with_escalation(
+            q_uu, rhs, config.reg_init, config.reg_factor, config.reg_levels
+        )
         k_t = -sol[:, 0]
         K_t = -sol[:, 1:]
 
