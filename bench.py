@@ -26,7 +26,7 @@ REFERENCE_MS_PER_SOLVE = 1.06887  # README.md:167
 
 def main():
     from __graft_entry__ import _single_track_spec
-    from multi_agent_solver_tpu.solvers.ilqr import ILQRConfig, solve_ilqr
+    from multi_agent_solver_tpu.solvers.ilqr import ILQRConfig, solve_ilqr_batched
 
     spec = _single_track_spec(dtype=jnp.float32)
     config = ILQRConfig(max_iterations=10, tolerance=1e-5)
@@ -40,9 +40,8 @@ def main():
 
     @jax.jit
     def solve_batch(x0_batch):
-        return jax.vmap(
-            lambda s0: solve_ilqr(spec.replace(initial_state=s0), config)
-        )(x0_batch)
+        specs = jax.vmap(lambda s0: spec.replace(initial_state=s0))(x0_batch)
+        return solve_ilqr_batched(specs, config)
 
     # Warm up / compile.
     result = solve_batch(x0)

@@ -132,6 +132,11 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
         rho = jnp.minimum(rho, config.penalty_cap)
 
         converged = jnp.abs(old_cost - trial_cost) < config.tolerance
+        if config.debug:  # per-iteration trace (reference: cgd.hpp:109-113)
+            jax.debug.print(
+                "CGD iter {it}: aug_cost={c} step={s} rho={r}",
+                it=it, c=aug_new, s=step, r=rho,
+            )
         return (us_new, xs_new, aug_new, eq_mult, ineq_mult, rho, it + 1, converged)
 
     init = (us0, xs0, aug0, eq_mult0, ineq_mult0, rho0,

@@ -304,6 +304,12 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
             & (eq_viol < config.constraint_tolerance)
             & (ineq_viol < config.constraint_tolerance)
         )
+        if config.debug:  # per-iteration trace (reference: ilqr.hpp:262-267)
+            jax.debug.print(
+                "iLQR iter {it}: cost={c} merit={m} d_merit={d} "
+                "eq_violation={ev} ineq_violation={iv}",
+                it=it, c=cost_new, m=merit_new, d=improvement, ev=eq_viol, iv=ineq_viol,
+            )
         return (
             xs_new, us_new, cost_new, merit_new, eq_mult, ineq_mult, rho,
             it + 1, converged, eq_viol, ineq_viol,
@@ -324,6 +330,151 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         merit=merit,
         eq_violation=eqv,
         ineq_violation=inv,
+    )
+
+
+def _batched_backward_pallas(specs: OCPSpec, config: ILQRConfig, xs, us, al_terms, interpret: bool):
+    """Backward pass for the whole batch via the fused Pallas kernel."""
+    from ..ops.riccati_pallas import riccati_backward_pallas
+
+    A, Bm, lx, lu, lxx, luu, lux = al_terms
+    phix = jax.vmap(lambda s, xT: s.derivs.phix(xT))(specs, xs[:, -1])
+    phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
+    phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
+    k, K = riccati_backward_pallas(
+        A, Bm, lx, lu, lxx, luu, lux, phix, phixx,
+        reg_init=config.reg_init, reg_factor=config.reg_factor,
+        reg_levels=config.reg_levels, interpret=interpret,
+    )
+    return k.astype(xs.dtype), K.astype(xs.dtype)
+
+
+def solve_ilqr_batched(
+    specs: OCPSpec, config: ILQRConfig, backward: str = "auto"
+) -> SolveResult:
+    """Batched AL-iLQR: spec leaves carry a leading batch axis ``[B, ...]``.
+
+    Identical semantics to ``vmap(solve_ilqr)`` but the Riccati backward pass
+    runs as ONE fused Pallas kernel over all batch lanes (see
+    ops/riccati_pallas.py) -- the hot path of the solves/s benchmark.
+    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx, nu <= 4).
+    """
+    B = specs.initial_state.shape[0]
+    T = specs.horizon_steps
+    dtype = specs.initial_state.dtype
+    nx, nu = specs.state_dim, specs.control_dim
+
+    if backward == "auto":
+        backward = "pallas" if (nx <= 4 and nu <= 4) else "scan"
+    interpret = jax.default_backend() == "cpu"
+
+    us0 = specs.initial_controls
+    xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+    cost0 = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs0, us0)
+
+    eq_mult0 = jnp.zeros((B, T, specs.eq_dim), dtype)
+    ineq_mult0 = jnp.zeros((B, T, specs.ineq_dim), dtype)
+    rho0 = jnp.full((B,), config.penalty, dtype)
+    merit0 = jax.vmap(
+        lambda s, x, u, e, i, r: compute_merit(s, config, x, u, e, i, r)
+    )(specs, xs0, us0, eq_mult0, ineq_mult0, rho0)
+
+    def mask(new, old, active):
+        """Per-problem freeze: keep old state for converged lanes."""
+        expand = active.reshape((B,) + (1,) * (new.ndim - 1))
+        return jnp.where(expand, new, old)
+
+    def cond(state):
+        it, converged = state[7], state[8]
+        return (it < config.max_iterations) & jnp.any(~converged)
+
+    def body(state):
+        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
+        active = ~converged
+
+        A, Bm, lx, lu, lxx, luu, lux = jax.vmap(
+            lambda s, x, u: _linearize(s, config, x, u)
+        )(specs, xs, us)
+        lx, lu, lxx, luu, lux = jax.vmap(
+            lambda s, x, u, a, b, c, d, e, em, im, r: _add_al_terms(
+                s, config, x, u, a, b, c, d, e, em, im, r
+            )
+        )(specs, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho)
+
+        if backward == "pallas":
+            k, K = _batched_backward_pallas(
+                specs, config, xs, us, (A, Bm, lx, lu, lxx, luu, lux), interpret
+            )
+        else:
+            k, K = jax.vmap(
+                lambda s, x, a, b, c, d, e, f, g: _backward_pass(
+                    s, config, x, a, b, c, d, e, f, g
+                )
+            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux)
+
+        xs_new, us_new, merit_new = jax.vmap(
+            lambda s, x, u, kk, KK, em, im, r, me: _forward_pass(
+                s, config, x, u, kk, KK, em, im, r, me
+            )
+        )(specs, xs, us, k, K, eq_mult, ineq_mult, rho, merit)
+
+        improvement = merit - merit_new
+        cost_new = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs_new, us_new)
+
+        eq_viol = jnp.zeros((B,), dtype)
+        ineq_viol = jnp.zeros((B,), dtype)
+        eq_mult_new, ineq_mult_new = eq_mult, ineq_mult
+        if specs.eq_dim > 0:
+            g = jax.vmap(
+                lambda s, x, u: eval_constraints_horizon(s.equality_constraints, x, u)
+            )(specs, xs_new, us_new)
+            eq_mult_new = eq_mult + rho[:, None, None] * g
+            eq_viol = jnp.sqrt(jnp.sum(g**2, axis=(1, 2)))
+        if specs.ineq_dim > 0:
+            h = jax.vmap(
+                lambda s, x, u: eval_constraints_horizon(s.inequality_constraints, x, u)
+            )(specs, xs_new, us_new)
+            positive = jnp.maximum(h, 0.0)
+            ineq_mult_new = jnp.maximum(ineq_mult + rho[:, None, None] * positive, 0.0)
+            ineq_viol = jnp.sqrt(jnp.sum(positive**2, axis=(1, 2)))
+
+        rho_new = jnp.where(
+            (eq_viol > config.constraint_tolerance)
+            | (ineq_viol > config.constraint_tolerance),
+            rho * config.penalty_increase,
+            rho,
+        )
+
+        newly_converged = (
+            (improvement < config.tolerance)
+            & (eq_viol < config.constraint_tolerance)
+            & (ineq_viol < config.constraint_tolerance)
+        )
+
+        return (
+            mask(xs_new, xs, active),
+            mask(us_new, us, active),
+            mask(cost_new, cost, active),
+            mask(merit_new, merit, active),
+            mask(eq_mult_new, eq_mult, active),
+            mask(ineq_mult_new, ineq_mult, active),
+            mask(rho_new, rho, active),
+            it + 1,
+            converged | newly_converged,
+            mask(eq_viol, eqv, active),
+            mask(ineq_viol, inv, active),
+        )
+
+    zeros = jnp.zeros((B,), dtype)
+    init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
+            jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), zeros, zeros)
+    xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return SolveResult(
+        states=xs, controls=us, cost=cost,
+        iterations=jnp.broadcast_to(it, (B,)), converged=converged,
+        merit=merit, eq_violation=eqv, ineq_violation=inv,
     )
 
 

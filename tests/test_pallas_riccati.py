@@ -1,0 +1,131 @@
+"""Fused Pallas Riccati kernel and the batched iLQR entry point.
+
+On CPU these run the kernel in interpreter mode; the TPU-compiled path is
+exercised by bench.py and validated against the same scan reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_agent_solver_tpu.ops.riccati_pallas import riccati_backward_pallas
+from multi_agent_solver_tpu.ops.small import psd_solve_with_escalation
+from multi_agent_solver_tpu.solvers.ilqr import (
+    ILQRConfig,
+    solve_ilqr,
+    solve_ilqr_batched,
+)
+
+from .problems import single_track_lane_ocp
+
+
+def _scan_backward(A, Bm, lx, lu, lxx, luu, lux, vx, vxx):
+    def step(carry, inp):
+        v_x, v_xx = carry
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inp
+        q_x = lx_t + A_t.T @ v_x
+        q_u = lu_t + B_t.T @ v_x
+        q_xx = lxx_t + A_t.T @ v_xx @ A_t
+        q_ux = lux_t + B_t.T @ v_xx @ A_t
+        q_uu = luu_t + B_t.T @ v_xx @ B_t
+        rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)
+        sol, _ = psd_solve_with_escalation(q_uu, rhs)
+        k_t, K_t = -sol[:, 0], -sol[:, 1:]
+        v_xn = q_x + K_t.T @ q_u + q_ux.T @ k_t + K_t.T @ (q_uu @ k_t)
+        v_xxn = q_xx + K_t.T @ q_ux + q_ux.T @ K_t + K_t.T @ q_uu @ K_t
+        return (v_xn, 0.5 * (v_xxn + v_xxn.T)), (k_t, K_t)
+
+    _, (k, K) = jax.lax.scan(
+        step, (vx, 0.5 * (vxx + vxx.T)), (A, Bm, lx, lu, lxx, luu, lux), reverse=True
+    )
+    return k, K
+
+
+def _random_problem(seed, B=6, T=10, nx=4, nu=2):
+    rng = np.random.RandomState(seed)
+    mk = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32))
+    spd = lambda *s: jnp.asarray(
+        (lambda M: np.einsum("...ij,...kj->...ik", M, M) * 0.1)(rng.randn(*s, 3))
+        .astype(np.float32)
+    )
+    eye = lambda n, s: s * jnp.eye(n, dtype=jnp.float32)
+    return dict(
+        A=mk(B, T, nx, nx) * 0.3,
+        Bm=mk(B, T, nx, nu) * 0.3,
+        lx=mk(B, T, nx),
+        lu=mk(B, T, nu),
+        lxx=spd(B, T, nx) + eye(nx, 0.1),
+        luu=spd(B, T, nu) + eye(nu, 0.5),
+        lux=mk(B, T, nu, nx) * 0.1,
+        vx0=mk(B, nx),
+        vxx0=spd(B, nx),
+    )
+
+
+class TestRiccatiKernel:
+    def test_matches_scan_reference(self):
+        p = _random_problem(0)
+        k_p, K_p = riccati_backward_pallas(
+            p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
+            p["vx0"], p["vxx0"], interpret=True,
+        )
+        k_r, K_r = jax.vmap(_scan_backward)(
+            p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
+            p["vx0"], p["vxx0"],
+        )
+        np.testing.assert_allclose(np.array(k_p), np.array(k_r), atol=2e-5)
+        np.testing.assert_allclose(np.array(K_p), np.array(K_r), atol=2e-5)
+
+    def test_indefinite_quu_regularizes_like_reference(self):
+        """Force a non-PD q_uu stage and check the ladder kicks in identically."""
+        p = _random_problem(1)
+        p["luu"] = p["luu"].at[:, 3].set(
+            jnp.asarray([[-0.5, 0.0], [0.0, -0.2]], jnp.float32)
+        )
+        k_p, K_p = riccati_backward_pallas(
+            p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
+            p["vx0"], p["vxx0"], interpret=True,
+        )
+        k_r, K_r = jax.vmap(_scan_backward)(
+            p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
+            p["vx0"], p["vxx0"],
+        )
+        assert np.isfinite(np.array(k_p)).all()
+        np.testing.assert_allclose(np.array(k_p), np.array(k_r), atol=5e-4)
+
+    def test_non_tile_multiple_batch_pads(self):
+        p = _random_problem(2, B=3)
+        k_p, _ = riccati_backward_pallas(
+            p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
+            p["vx0"], p["vxx0"], interpret=True,
+        )
+        assert k_p.shape == (3, 10, 2)
+        assert np.isfinite(np.array(k_p)).all()
+
+
+class TestBatchedSolver:
+    def test_matches_vmap_solver(self):
+        spec = single_track_lane_ocp().spec()
+        config = ILQRConfig(max_iterations=10, tolerance=1e-5)
+        B = 4
+        y = jnp.linspace(0.5, 2.0, B)
+        x0s = jnp.tile(spec.initial_state, (B, 1)).at[:, 1].set(y)
+        specs = jax.vmap(lambda x0: spec.replace(initial_state=x0))(x0s)
+
+        batched = jax.jit(lambda s: solve_ilqr_batched(s, config))(specs)
+        ref = jax.jit(jax.vmap(lambda s: solve_ilqr(s, config)))(specs)
+        # f32 kernel vs f64 scan on CPU tests: loose but meaningful tolerance.
+        np.testing.assert_allclose(
+            np.array(batched.cost), np.array(ref.cost), rtol=1e-4
+        )
+        assert bool(batched.converged.all())
+
+    def test_scan_backward_fallback(self):
+        spec = single_track_lane_ocp().spec()
+        config = ILQRConfig(max_iterations=10, tolerance=1e-5)
+        specs = jax.vmap(lambda y: spec.replace(
+            initial_state=spec.initial_state.at[1].set(y)
+        ))(jnp.array([0.5, 1.0]))
+        a = solve_ilqr_batched(specs, config, backward="scan")
+        b = solve_ilqr_batched(specs, config, backward="pallas")
+        np.testing.assert_allclose(np.array(a.cost), np.array(b.cost), rtol=1e-4)
