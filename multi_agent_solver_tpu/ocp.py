@@ -80,6 +80,13 @@ class OCPSpec:
     eq_dim: int = struct.field(pytree_node=False, default=0)
     ineq_dim: int = struct.field(pytree_node=False, default=0)
     dt: float = struct.field(pytree_node=False, default=0.0)
+    # True when objective_function is the synthesized sum of stage costs plus
+    # terminal cost (ocp.hpp:170-180) -- lets fused kernels accumulate the
+    # objective inline instead of calling the opaque user function.
+    objective_is_default: bool = struct.field(pytree_node=False, default=True)
+    # 'ad' or 'fd': which derivative defaults the oracle bundle was built
+    # with.  Fused AD kernels are only exact substitutes in 'ad' mode.
+    derivative_mode: str = struct.field(pytree_node=False, default="ad")
 
     # Convenience -------------------------------------------------------
     def rollout(self, controls: Array) -> Array:
@@ -304,6 +311,7 @@ class OCP:
         )
 
         objective = self.objective_function
+        objective_is_default = objective is None
         if objective is None:
             stage, terminal = self.stage_cost, self.terminal_cost
             objective = lambda X, U: compute_trajectory_cost(X, U, stage, terminal)
@@ -345,6 +353,8 @@ class OCP:
             eq_dim=eq_dim,
             ineq_dim=ineq_dim,
             dt=float(self.dt),
+            objective_is_default=objective_is_default,
+            derivative_mode=self.derivative_mode,
         )
         return self._spec
 

@@ -350,7 +350,8 @@ def _batched_backward_pallas(specs: OCPSpec, config: ILQRConfig, xs, us, al_term
 
 
 def solve_ilqr_batched(
-    specs: OCPSpec, config: ILQRConfig, backward: str = "auto"
+    specs: OCPSpec, config: ILQRConfig, backward: str = "auto",
+    linearize: str = "xla",
 ) -> SolveResult:
     """Batched AL-iLQR: spec leaves carry a leading batch axis ``[B, ...]``.
 
@@ -368,9 +369,45 @@ def solve_ilqr_batched(
         backward = "pallas" if (nx <= 4 and nu <= 4) else "scan"
     interpret = jax.default_backend() == "cpu"
 
+    from ..ops.forward_pallas import (
+        forward_pass_pallas,
+        rollout_pallas,
+        spec_supports_lane_forward,
+    )
+
+    lane_forward = (
+        backward == "pallas"
+        and specs.objective_is_default
+        and spec_supports_lane_forward(specs)
+    )
+    # Fused in-kernel-AD linearization (opt-in: measured slower than the
+    # XLA-fused vmapped linearizer on v5e for jvp-through-RK4 Jacobians, but
+    # kept for problems whose linearization fragments into many tiny XLA
+    # kernels).  Exact substitute only in 'ad' derivative mode.
+    lane_linearize = (
+        linearize == "pallas" and lane_forward and specs.derivative_mode == "ad"
+    )
+    if lane_linearize:
+        # The linearize kernel passes the time index as a lane-shaped float.
+        try:
+            out = jax.eval_shape(
+                specs.stage_cost,
+                jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            )
+            lane_linearize = tuple(out.shape) in [(8, 128), ()]
+        except Exception:
+            lane_linearize = False
+
     us0 = specs.initial_controls
-    xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
-    cost0 = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs0, us0)
+    if lane_forward:
+        xs0, cost0 = rollout_pallas(specs, specs.initial_state, us0, interpret)
+        xs0 = xs0.astype(dtype)
+        cost0 = cost0.astype(dtype)
+    else:
+        xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+        cost0 = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs0, us0)
 
     eq_mult0 = jnp.zeros((B, T, specs.eq_dim), dtype)
     ineq_mult0 = jnp.zeros((B, T, specs.ineq_dim), dtype)
@@ -392,9 +429,23 @@ def solve_ilqr_batched(
         xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
         active = ~converged
 
-        A, Bm, lx, lu, lxx, luu, lux = jax.vmap(
-            lambda s, x, u: _linearize(s, config, x, u)
-        )(specs, xs, us)
+        if lane_linearize:
+            from ..ops.linearize_pallas import linearize_pallas
+
+            A, Bm, lx, lu, lxx, luu, lux = linearize_pallas(
+                specs, xs, us,
+                discrete=(config.jacobian_mode == "discrete"),
+                interpret=interpret,
+            )
+            A = A.astype(dtype)
+            Bm = Bm.astype(dtype)
+            lx, lu, lxx, luu, lux = (
+                v.astype(dtype) for v in (lx, lu, lxx, luu, lux)
+            )
+        else:
+            A, Bm, lx, lu, lxx, luu, lux = jax.vmap(
+                lambda s, x, u: _linearize(s, config, x, u)
+            )(specs, xs, us)
         lx, lu, lxx, luu, lux = jax.vmap(
             lambda s, x, u, a, b, c, d, e, em, im, r: _add_al_terms(
                 s, config, x, u, a, b, c, d, e, em, im, r
@@ -412,14 +463,31 @@ def solve_ilqr_batched(
                 )
             )(specs, xs, A, Bm, lx, lu, lxx, luu, lux)
 
-        xs_new, us_new, merit_new = jax.vmap(
-            lambda s, x, u, kk, KK, em, im, r, me: _forward_pass(
-                s, config, x, u, kk, KK, em, im, r, me
+        if lane_forward:
+            alphas = _alpha_ladder(config.alpha_min, dtype)
+            xs_cand, us_cand, cand_costs = forward_pass_pallas(
+                specs, xs, us, k, K, alphas, interpret
             )
-        )(specs, xs, us, k, K, eq_mult, ineq_mult, rho, merit)
+            cand_costs = cand_costs.astype(dtype)
+            # Unconstrained merit == objective; largest improving alpha wins
+            # (equivalent to the reference's decreasing first-accept order).
+            ok = cand_costs < merit[:, None]
+            idx = jnp.argmax(ok, axis=1)
+            found = jnp.any(ok, axis=1)
+            rows = jnp.arange(B)
+            xs_new = jnp.where(found[:, None, None], xs_cand[rows, idx], xs)
+            us_new = jnp.where(found[:, None, None], us_cand[rows, idx], us)
+            merit_new = jnp.where(found, cand_costs[rows, idx], merit)
+            cost_new = merit_new
+        else:
+            xs_new, us_new, merit_new = jax.vmap(
+                lambda s, x, u, kk, KK, em, im, r, me: _forward_pass(
+                    s, config, x, u, kk, KK, em, im, r, me
+                )
+            )(specs, xs, us, k, K, eq_mult, ineq_mult, rho, merit)
+            cost_new = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs_new, us_new)
 
         improvement = merit - merit_new
-        cost_new = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs_new, us_new)
 
         eq_viol = jnp.zeros((B,), dtype)
         ineq_viol = jnp.zeros((B,), dtype)

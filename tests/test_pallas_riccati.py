@@ -103,6 +103,45 @@ class TestRiccatiKernel:
         assert np.isfinite(np.array(k_p)).all()
 
 
+class TestForwardKernel:
+    def test_rollout_matches_integrate_horizon(self):
+        from multi_agent_solver_tpu.integrators import integrate_horizon
+        from multi_agent_solver_tpu.ops.forward_pallas import rollout_pallas
+
+        spec = single_track_lane_ocp().spec()
+        B = 3
+        rng = np.random.RandomState(0)
+        us = jnp.asarray(rng.uniform(-0.3, 0.3, (B, 80, 2)).astype(np.float32))
+        x0 = jnp.tile(spec.initial_state, (B, 1)).astype(jnp.float32)
+
+        xs_k, costs_k = rollout_pallas(spec, x0, us, interpret=True)
+        for b in range(B):
+            xs_ref = integrate_horizon(x0[b], us[b], spec.dt, spec.dynamics)
+            np.testing.assert_allclose(
+                np.array(xs_k[b]), np.array(xs_ref, np.float32), atol=2e-4
+            )
+            np.testing.assert_allclose(
+                float(costs_k[b]), float(spec.cost(xs_ref, us[b])), rtol=1e-4
+            )
+
+    def test_forward_pass_clamps_and_scores(self):
+        from multi_agent_solver_tpu.ops.forward_pallas import forward_pass_pallas
+
+        spec = single_track_lane_ocp().spec()
+        B, T = 2, 80
+        us = jnp.zeros((B, T, 2), jnp.float32)
+        x0 = jnp.tile(spec.initial_state, (B, 1)).astype(jnp.float32)
+        xs = jax.vmap(lambda x, u: spec.replace().rollout(u), in_axes=(0, 0))(x0, us)
+        # Huge k forces the clamp to engage on every step.
+        k = jnp.full((B, T, 2), 100.0, jnp.float32)
+        K = jnp.zeros((B, T, 2, 4), jnp.float32)
+        alphas = jnp.asarray([1.0], jnp.float32)
+        xs_c, us_c, costs = forward_pass_pallas(spec, xs.astype(jnp.float32), us, k, K, alphas, interpret=True)
+        U = np.array(us_c[:, 0])
+        assert (U[..., 0] <= 0.7 + 1e-6).all() and (U[..., 1] <= 1.0 + 1e-6).all()
+        assert np.isfinite(np.array(costs)).all()
+
+
 class TestBatchedSolver:
     def test_matches_vmap_solver(self):
         spec = single_track_lane_ocp().spec()
