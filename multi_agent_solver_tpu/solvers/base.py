@@ -77,6 +77,16 @@ class SolverBase:
     def _solve_fn(spec: OCPSpec, config) -> SolveResult:  # pragma: no cover
         raise NotImplementedError
 
+    @classmethod
+    def _solve_batched_fn(cls, specs: OCPSpec, config) -> SolveResult:
+        """Solve a spec whose leaves carry a leading batch axis.
+
+        Default: vmap of the per-problem solver.  Solvers with fused batched
+        kernels (iLQR) override this -- strategies and the parallel layer
+        route through it so agent sweeps hit the fast path.
+        """
+        return jax.vmap(lambda s: cls._solve_fn(s, config))(specs)
+
     # -- reference-style host API ---------------------------------------
     def solve(self, problem: OCP) -> SolveResult:
         """Solve and write ``best_states`` / ``best_controls`` / ``best_cost``

@@ -553,3 +553,7 @@ class ILQR(SolverBase):
     name = "ilqr"
     config_cls = ILQRConfig
     _solve_fn = staticmethod(solve_ilqr)
+
+    @classmethod
+    def _solve_batched_fn(cls, specs: OCPSpec, config) -> SolveResult:
+        return solve_ilqr_batched(specs, config)

@@ -49,10 +49,11 @@ from .base import (
 
 
 def _vmapped_solve(solver_cls, config):
-    solve_fn = solver_cls._solve_fn
+    """Per-sweep batched solve; uses the solver's fused batched kernel path
+    when it has one (ILQR's Pallas Riccati/forward kernels)."""
 
     def batched(specs: OCPSpec):
-        return jax.vmap(lambda s: solve_fn(s, config))(specs)
+        return solver_cls._solve_batched_fn(specs, config)
 
     return batched
 
