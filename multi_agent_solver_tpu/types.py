@@ -38,6 +38,11 @@ TerminalCostFunction = Callable[[Array], Array]
 ObjectiveFunction = Callable[[Array, Array], Array]
 ConstraintsFunction = Callable[[Array, Array], Array]
 
+# Whole-horizon control gradient (reference: ControlGradient / GradientComputer,
+# types.hpp:18,54-56): dJ/dU with U time-major [T, nu].
+ControlGradient = Array
+GradientComputer = Callable[[Array, Array, MotionModel, ObjectiveFunction, float], Array]
+
 SolverParams = Mapping[str, float]
 
 

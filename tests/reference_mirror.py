@@ -41,6 +41,56 @@ def trajectory_cost(stage, terminal, X, U):
     return c + terminal(X[-1])
 
 
+def fd_shooting_gradient(f, x0, U, objective, dt):
+    """finite_differences.hpp:17-48: central diff, eps = max(1e-6, 1e-8|u|)."""
+    g = np.zeros_like(U)
+    for t in range(U.shape[0]):
+        for i in range(U.shape[1]):
+            eps = max(1e-6, 1e-8 * abs(U[t, i]))
+            Up = U.copy(); Up[t, i] += eps
+            Um = U.copy(); Um[t, i] -= eps
+            cp = objective(rollout(f, x0, Up, dt), Up)
+            cm = objective(rollout(f, x0, Um, dt), Um)
+            g[t, i] = (cp - cm) / (2.0 * eps)
+    return g
+
+
+def armijo(f, x0, U, g, objective, dt):
+    """line_search.hpp:30-70."""
+    alpha, beta, c1 = 1.0, 0.5, 1e-6
+    cost_ref = objective(rollout(f, x0, U, dt), U)
+    dir_deriv = -np.sum(g * g)
+    while True:
+        Ut = U - alpha * g
+        if objective(rollout(f, x0, Ut, dt), Ut) <= cost_ref + c1 * alpha * dir_deriv:
+            return alpha
+        alpha *= beta
+        if alpha < 1e-8:
+            return alpha
+
+
+def cgd_solve(f, stage, terminal, x0, U0, dt, max_iterations,
+              input_lower=None, input_upper=None):
+    """Mirror of the reference CGD on an unconstrained problem (cgd.hpp:47-117;
+    the convergence break is debug-gated there, so it always runs
+    max_iterations).  Returns (X, U, cost)."""
+    objective = lambda X, U: trajectory_cost(stage, terminal, X, U)
+    U = U0.copy()
+    X = rollout(f, x0, U, dt)
+    cost = objective(X, U)
+    for _ in range(max_iterations):
+        g = fd_shooting_gradient(f, x0, U, objective, dt)
+        alpha = armijo(f, x0, U, g, objective, dt)
+        Ut = U - alpha * g
+        if input_lower is not None and input_upper is not None:
+            Ut = np.clip(Ut, input_lower, input_upper)
+        Xt = rollout(f, x0, Ut, dt)
+        ct = objective(Xt, Ut)
+        if ct < cost:
+            U, X, cost = Ut, Xt, ct
+    return X, U, cost
+
+
 def ilqr_solve(
     f,
     fx,
