@@ -58,7 +58,7 @@ def compute_augmented_cost(
     rho: Array,
 ) -> Array:
     """Objective plus AL terms (reference: compute_augmented_cost, lines 17-49)."""
-    cost = spec.objective_function(states, controls)
+    cost = spec.cost(states, controls)   # context-aware objective
     if spec.eq_dim > 0:
         g = eval_constraints_horizon(spec.equality_constraints, states, controls)
         cost = cost + equality_al_term(g, eq_multipliers, rho)

@@ -133,6 +133,9 @@ def _fd_derivatives(
     )
 
 
+_DERIVATIVES_CACHE: dict = {}
+
+
 def make_derivatives(
     dynamics: MotionModel,
     stage_cost: StageCostFunction,
@@ -147,7 +150,25 @@ def make_derivatives(
     ``ocp.hpp:70-80``).
 
     ``overrides`` keys match :class:`Derivatives` field names.
+
+    Results are memoized on the identity of every input callable: problems
+    built from the same function objects share ONE bundle, which is what
+    makes their specs compare equal (identical pytree statics) and lets
+    homogeneous agents stack into vmapped lanes instead of per-agent
+    recompiles.
     """
+    cache_key = (
+        dynamics, stage_cost, terminal_cost,
+        equality_constraints, inequality_constraints, mode,
+        tuple(sorted(overrides.items(), key=lambda kv: kv[0])),
+    )
+    try:
+        cached = _DERIVATIVES_CACHE.get(cache_key)
+    except TypeError:            # unhashable override value
+        cached = None
+        cache_key = None
+    if cached is not None:
+        return cached
     if mode == "ad":
         derivs = _ad_derivatives(
             dynamics, stage_cost, terminal_cost, equality_constraints, inequality_constraints
@@ -165,4 +186,6 @@ def make_derivatives(
         if unknown:
             raise ValueError(f"unknown derivative overrides: {sorted(unknown)}")
         derivs = derivs.replace(**overrides)
+    if cache_key is not None:
+        _DERIVATIVES_CACHE[cache_key] = derivs
     return derivs

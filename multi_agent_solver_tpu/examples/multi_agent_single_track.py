@@ -71,11 +71,24 @@ def create_single_track_circular_ocp(initial_theta: float) -> OCP:
     return ocp
 
 
-def build_problem(n_agents: int) -> MultiAgentProblem:
+def make_collision_cost(weight: float, radius: float = 3.0):
+    """Soft inter-agent collision cost (extension beyond the reference:
+    the reference's agents never interact, multi_agent_problem.hpp:76-92)."""
+
+    def collision_cost(x_i, x_j, t):
+        d2 = (x_i[0] - x_j[0]) ** 2 + (x_i[1] - x_j[1]) ** 2
+        return weight * jnp.exp(-d2 / (radius**2))
+
+    return collision_cost
+
+
+def build_problem(n_agents: int, coupling: float = 0.0) -> MultiAgentProblem:
     problem = MultiAgentProblem()
     for i in range(n_agents):
         theta = 2.0 * math.pi * i / n_agents
         problem.add_agent(Agent(i, create_single_track_circular_ocp(theta)))
+    if coupling > 0.0:
+        problem.inter_agent_cost = make_collision_cost(coupling)
     return problem
 
 
@@ -83,11 +96,11 @@ def main(argv=None) -> int:
     options = parse_multi_agent_options(sys.argv[1:] if argv is None else argv)
     if options.show_help:
         print("Usage: multi_agent_single_track [--agents N] [--solver NAME] "
-              "[--strategy NAME] [--max-outer N]\n")
+              "[--strategy NAME] [--max-outer N] [--coupling W]\n")
         print_available()
         return 0
 
-    problem = build_problem(options.agents)
+    problem = build_problem(options.agents, coupling=options.coupling)
     params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1000}
     solver = make_solver(options.solver)
     strategy = make_strategy(options.strategy, solver, params, options.max_outer)

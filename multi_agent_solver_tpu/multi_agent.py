@@ -52,6 +52,14 @@ class MultiAgentProblem:
         self.blocks: List[AgentBlockInfo] = []
         self.total_state_dim = 0
         self.total_control_dim = 0
+        # Optional pairwise coupling: ``inter_agent_cost(x_i, x_j, t)`` added
+        # for every ordered pair i != j.  The reference has NO inter-agent
+        # coupling anywhere (agents only interact through the strategy layer,
+        # multi_agent_problem.hpp:76-92); with this set, the centralized
+        # strategy solves the truly coupled joint OCP and the Nash strategies
+        # play a real best-response game against the others' current plans.
+        # Requires homogeneous agents.
+        self.inter_agent_cost = None
 
     def add_agent(self, agent: Agent) -> None:
         self.agents.append(agent)
@@ -100,10 +108,19 @@ class MultiAgentProblem:
                 [ocp.dynamics(x[xs:xe], u[us:ue]) for xs, xe, us, ue, ocp in slices]
             )
 
+        inter = self.inter_agent_cost
+
         def global_stage_cost(x, u, t):
             total = 0.0
             for xs, xe, us, ue, ocp in slices:
                 total = total + ocp.stage_cost(x[xs:xe], u[us:ue], t)
+            if inter is not None:
+                # Directed pair sum, matching the Nash per-agent convention
+                # (each agent pays its coupling to every other agent).
+                for i, (xs_i, xe_i, *_rest) in enumerate(slices):
+                    for j, (xs_j, xe_j, *_rest2) in enumerate(slices):
+                        if i != j:
+                            total = total + inter(x[xs_i:xe_i], x[xs_j:xe_j], t)
             return total
 
         def global_terminal_cost(x):

@@ -29,6 +29,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -40,17 +41,21 @@ from .integrators import integrate_horizon, integrate_rk4
 from .types import Array
 
 
-def compute_trajectory_cost(states, controls, stage_cost, terminal_cost):
+def compute_trajectory_cost(states, controls, stage_cost, terminal_cost, context=None):
     """Total cost: sum of per-stage costs plus terminal cost.
 
     Reference: ``compute_trajectory_cost`` (ocp.hpp:14-28).  Stage costs are
     evaluated at ``(x_t, u_t, t)`` for ``t = 0..T-1`` and are NOT scaled by dt,
     matching the reference.  Vectorized over the horizon with ``vmap`` instead
-    of the reference's sequential accumulation loop.
+    of the reference's sequential accumulation loop.  With ``context`` the
+    stage cost receives the per-step context slice as a fourth argument.
     """
     T = controls.shape[0]
     ts = jnp.arange(T)
-    stage = jax.vmap(stage_cost)(states[:-1], controls, ts)
+    if context is None:
+        stage = jax.vmap(stage_cost)(states[:-1], controls, ts)
+    else:
+        stage = jax.vmap(stage_cost)(states[:-1], controls, ts, context)
     return jnp.sum(stage) + terminal_cost(states[-1])
 
 
@@ -65,6 +70,13 @@ class OCPSpec:
     state_upper_bounds: Optional[Array] = None
     input_lower_bounds: Optional[Array] = None  # [nu] or None
     input_upper_bounds: Optional[Array] = None
+    # Optional per-stage context [T, C]: when present, the stage cost is
+    # called as ``stage_cost(x, u, t, context_t)``.  This is how inter-agent
+    # coupling reaches a single agent's solve (the other agents' current
+    # plans are context), and how moving obstacles / reference trajectories
+    # enter -- a capability the reference lacks entirely
+    # (multi_agent_problem.hpp:76-92 notes no coupling anywhere).
+    context: Optional[Array] = None
 
     # --- static metadata (part of the compilation key) ---
     dynamics: Callable = struct.field(pytree_node=False, default=None)
@@ -93,7 +105,19 @@ class OCPSpec:
         return integrate_horizon(self.initial_state, controls, self.dt, self.dynamics)
 
     def cost(self, states: Array, controls: Array) -> Array:
+        if self.context is not None:
+            # Context-dependent problems always use the synthesized objective
+            # (validated at spec construction).
+            return compute_trajectory_cost(
+                states, controls, self.stage_cost, self.terminal_cost, self.context
+            )
         return self.objective_function(states, controls)
+
+    def stage_cost_at(self, x: Array, u: Array, t, context_t=None) -> Array:
+        """Evaluate the stage cost with or without context uniformly."""
+        if self.context is not None:
+            return self.stage_cost(x, u, t, context_t)
+        return self.stage_cost(x, u, t)
 
     @property
     def has_input_bounds(self) -> bool:
@@ -104,6 +128,66 @@ class OCPSpec:
     @property
     def has_state_bounds(self) -> bool:
         return self.state_lower_bounds is not None or self.state_upper_bounds is not None
+
+
+def _zero_stage_cost(x, u, t):
+    """Default stage cost (reference: ocp.hpp:45)."""
+    return jnp.asarray(0.0)
+
+
+def _zero_terminal_cost(x):
+    """Default terminal cost (reference: ocp.hpp:46)."""
+    return jnp.asarray(0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _step_jacobians(dynamics: Callable, dt: float, fd: bool):
+    """Memoized discrete-step Jacobian oracles (identity-stable so OCPs built
+    from the same dynamics share spec statics)."""
+    step_map = lambda x, u: integrate_rk4(x, u, dt, dynamics)
+    if fd:
+        from .finite_differences import fd_jacobian
+
+        return (
+            lambda x, u: fd_jacobian(lambda y: step_map(y, u), x, eps=1e-6),
+            lambda x, u: fd_jacobian(lambda w: step_map(x, w), u, eps=1e-6),
+        )
+    return jax.jacfwd(step_map, argnums=0), jax.jacfwd(step_map, argnums=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _synthesized_objective(stage_cost: Callable, terminal_cost: Callable):
+    """Memoized default objective (sum of stages + terminal, ocp.hpp:170-180)."""
+    return lambda X, U: compute_trajectory_cost(X, U, stage_cost, terminal_cost)
+
+
+def with_context_cost(spec: OCPSpec, stage_cost_ctx: Callable) -> OCPSpec:
+    """Derive a spec whose stage cost takes a per-step context argument.
+
+    ``stage_cost_ctx(x, u, t, ctx_t)`` replaces the stage cost; derivative
+    oracles and the synthesized objective are rebuilt for the 4-argument
+    signature.  Call once per (static) cost structure, then supply the actual
+    context arrays per solve via ``spec.replace(context=...)`` -- leaves
+    change, statics stay cached.
+    """
+    if not spec.objective_is_default:
+        raise ValueError("context costs require the synthesized objective")
+    if spec.derivative_mode != "ad":
+        raise ValueError("context costs require AD derivative mode")
+
+    derivs = make_derivatives(
+        spec.dynamics,
+        stage_cost_ctx,
+        spec.terminal_cost,
+        spec.equality_constraints,
+        spec.inequality_constraints,
+        mode="ad",
+        step_fx=spec.derivs.step_fx,
+        step_fu=spec.derivs.step_fu,
+        fx=spec.derivs.fx,
+        fu=spec.derivs.fu,
+    )
+    return spec.replace(stage_cost=stage_cost_ctx, derivs=derivs)
 
 
 class OCP:
@@ -121,10 +205,12 @@ class OCP:
         self.dt: float = 0.0
         self.id: int = 0
 
-        # Problem functions
+        # Problem functions (module-level zero defaults so OCPs sharing all
+        # function objects produce identical spec statics -- the homogeneity
+        # requirement for stacked agent lanes)
         self.dynamics = None
-        self.stage_cost = lambda x, u, t: jnp.asarray(0.0)
-        self.terminal_cost = lambda x: jnp.asarray(0.0)
+        self.stage_cost = _zero_stage_cost
+        self.terminal_cost = _zero_terminal_cost
         self.objective_function = None
 
         # Bounds (None == absent, like the reference's std::optional)
@@ -274,17 +360,9 @@ class OCP:
             )
             return self._spec
 
-        dt = float(self.dt)
-        dynamics = self.dynamics
-        step_map = lambda x, u: integrate_rk4(x, u, dt, dynamics)
-        if self.derivative_mode == "fd":
-            from .finite_differences import fd_jacobian
-
-            step_fx = lambda x, u: fd_jacobian(lambda y: step_map(y, u), x, eps=1e-6)
-            step_fu = lambda x, u: fd_jacobian(lambda w: step_map(x, w), u, eps=1e-6)
-        else:
-            step_fx = jax.jacfwd(step_map, argnums=0)
-            step_fu = jax.jacfwd(step_map, argnums=1)
+        step_fx, step_fu = _step_jacobians(
+            self.dynamics, float(self.dt), self.derivative_mode == "fd"
+        )
 
         derivs = make_derivatives(
             self.dynamics,
@@ -313,8 +391,7 @@ class OCP:
         objective = self.objective_function
         objective_is_default = objective is None
         if objective is None:
-            stage, terminal = self.stage_cost, self.terminal_cost
-            objective = lambda X, U: compute_trajectory_cost(X, U, stage, terminal)
+            objective = _synthesized_objective(self.stage_cost, self.terminal_cost)
 
         # Probe constraint dimensionality once, statically (the analogue of the
         # reference calling the constraint at the initial state: ilqr.hpp:318-323).

@@ -62,6 +62,8 @@ def spec_supports_lane_forward(spec) -> bool:
     nx, nu = spec.state_dim, spec.control_dim
     if spec.eq_dim > 0 or spec.ineq_dim > 0:
         return False
+    if spec.context is not None:   # context-dependent stage costs: XLA path
+        return False
     dyn_ok = lane_traceable(spec.dynamics, [(nx,), (nu,)], (nx,))
     stage_ok = lane_traceable(
         lambda x, u: spec.stage_cost(x, u, jnp.asarray(0)), [(nx,), (nu,)], ()

@@ -78,6 +78,7 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
 
     def augmented_objective_fn(eq_mult, ineq_mult, rho):
         def objective(X, U):
+            # compute_augmented_cost routes through spec.cost (context-aware).
             return compute_augmented_cost(spec, X, U, eq_mult, ineq_mult, rho)
 
         return objective

@@ -112,7 +112,7 @@ def compute_merit(
     rho: Array,
 ) -> Array:
     """AL merit with inequality activation mask (reference: ilqr.hpp:379-407)."""
-    merit = spec.objective_function(states, controls)
+    merit = spec.cost(states, controls)   # context-aware objective
     if spec.eq_dim > 0:
         g = eval_constraints_horizon(spec.equality_constraints, states, controls)
         merit = merit + jnp.sum(eq_mult * g) + 0.5 * rho * jnp.sum(g**2)
@@ -137,11 +137,13 @@ def _linearize(spec: OCPSpec, config: "ILQRConfig", xs: Array, us: Array):
     else:
         A = jax.vmap(d.fx)(x, u)      # [T, nx, nx] continuous (reference parity)
         B = jax.vmap(d.fu)(x, u)      # [T, nx, nu]
-    lx = jax.vmap(d.lx)(x, u, ts)     # [T, nx]
-    lu = jax.vmap(d.lu)(x, u, ts)     # [T, nu]
-    lxx = jax.vmap(d.lxx)(x, u, ts)   # [T, nx, nx]
-    luu = jax.vmap(d.luu)(x, u, ts)   # [T, nu, nu]
-    lux = jax.vmap(d.lux)(x, u, ts)   # [T, nu, nx]
+    # Cost derivative oracles forward any extra context argument unchanged.
+    cost_args = (x, u, ts) if spec.context is None else (x, u, ts, spec.context)
+    lx = jax.vmap(d.lx)(*cost_args)     # [T, nx]
+    lu = jax.vmap(d.lu)(*cost_args)     # [T, nu]
+    lxx = jax.vmap(d.lxx)(*cost_args)   # [T, nx, nx]
+    luu = jax.vmap(d.luu)(*cost_args)   # [T, nu, nu]
+    lux = jax.vmap(d.lux)(*cost_args)   # [T, nu, nx]
     return A, B, lx, lu, lxx, luu, lux
 
 

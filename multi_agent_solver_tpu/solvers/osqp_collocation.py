@@ -112,6 +112,8 @@ def _convexify(diag: Array, reg: float) -> Array:
 
 
 def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> SolveResult:
+    if spec.context is not None:
+        raise NotImplementedError("context costs are not supported by the QP solvers")
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     dt = spec.dt

@@ -90,6 +90,8 @@ def _shooting_indices(T: int, nx: int, nu: int):
 
 
 def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResult:
+    if spec.context is not None:
+        raise NotImplementedError("context costs are not supported by the QP solvers")
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     d = spec.derivs

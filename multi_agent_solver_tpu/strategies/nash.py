@@ -2,11 +2,9 @@
 
 Analogue of the reference's ``strategies/nash.hpp``.  The reference's only
 concurrency is OpenMP ``parallel for`` over agents (nash.hpp:45,59,66,134,200);
-here a Jacobi sweep is ONE vmapped solver call over stacked agent lanes, and
-the entire outer loop (sweeps + globalization) is a single jitted program --
-sweeps, line-search blending, trust-region radius updates and total-cost
-reductions all stay on-device.  On a device mesh the agent axis shards
-naturally (see multi_agent_solver_tpu.parallel).
+here a Jacobi sweep is ONE batched solver call over stacked agent lanes
+(hitting the solver's fused Pallas kernels when it has them), and the entire
+outer loop (sweeps + globalization) is a single jitted program.
 
 Semantics preserved from the reference:
 
@@ -17,25 +15,34 @@ Semantics preserved from the reference:
   *global* alpha in {0.5, 0.25, ... > 1e-3} blending
   ``u = old + alpha (candidate - old)`` for every agent simultaneously,
   accept the first improving alpha else revert all agents (nash.hpp:92-180).
-  All candidate alphas are evaluated in one batched rollout (equivalent to
-  the reference's decreasing first-accept order).
 * ``trustregion`` -- per-agent radius r (init 1.0): scale each candidate step
   back to ``r`` when its norm exceeds it, accept improvements (r *= 1.5)
   else revert (r *= 0.5) (nash.hpp:182-248).
 
+**Beyond the reference -- coupled games.**  When
+``MultiAgentProblem.inter_agent_cost`` is set, each agent's stage cost gains
+``sum_j inter_agent_cost(x_i, x_j_frozen, t)`` against the other agents'
+current plans (delivered through the spec's ``context`` leaf and refreshed
+every sweep), turning the Jacobi sweeps into true best-response dynamics.
+The reference has no inter-agent coupling at all
+(multi_agent_problem.hpp:76-92).
+
 Agents must be homogeneous (same problem functions/dims) for the stacked
-path; heterogeneous problems fall back to an equivalent host loop.
+path; heterogeneous problems fall back to an equivalent host loop
+(uncoupled only).
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..multi_agent import MultiAgentProblem
-from ..ocp import OCPSpec
+from ..ocp import OCPSpec, with_context_cost
 from ..solution import Solution
 from ..solvers.base import SolverBase, make_solver_like
 from ..types import SolverParams
@@ -48,30 +55,6 @@ from .base import (
 )
 
 
-def _vmapped_solve(solver_cls, config):
-    """Per-sweep batched solve; uses the solver's fused batched kernel path
-    when it has one (ILQR's Pallas Riccati/forward kernels)."""
-
-    def batched(specs: OCPSpec):
-        return solver_cls._solve_batched_fn(specs, config)
-
-    return batched
-
-
-def _batched_objective(specs: OCPSpec):
-    """Per-agent true objective of rolled-out controls: [N] costs."""
-
-    def one(spec, controls):
-        xs = spec.rollout(controls)
-        return spec.cost(xs, controls), xs
-
-    def batched(controls):
-        costs, xs = jax.vmap(one)(specs, controls)
-        return costs, xs
-
-    return batched
-
-
 class _NashBase:
     name = "nash"
 
@@ -81,12 +64,79 @@ class _NashBase:
         self.params = dict(params)
         self._config = type(solver_proto).config_cls.from_params(self.params)
         self._jitted = None
+        self._jitted_key = None
 
-    # -- stacked fast path ----------------------------------------------
+    # -- solver hook ----------------------------------------------------
+    def _batched_solve(self, specs: OCPSpec):
+        return type(self.solver_proto)._solve_batched_fn(specs, self._config)
+
+    # -- coupling machinery ---------------------------------------------
+    def _prepare(self, problem: MultiAgentProblem, specs: OCPSpec):
+        """Attach coupling statics for this agent count; returns run specs."""
+        n = specs.initial_state.shape[0]
+        inter = problem.inter_agent_cost
+        self._coupled = inter is not None
+        if not self._coupled:
+            self._ctx_for = None
+            return specs
+
+        others = np.stack(
+            [[j for j in range(n) if j != i] for i in range(n)]
+        )  # [N, N-1]
+        others_idx = jnp.asarray(others)
+
+        def ctx_for(states):  # [N, T+1, nx] -> [N, T, N-1, nx]
+            ctx = states[others_idx]              # [N, N-1, T+1, nx]
+            return jnp.swapaxes(ctx[:, :, :-1, :], 1, 2)
+
+        self._ctx_for = ctx_for
+
+        base_stage = specs.stage_cost
+        n_others = n - 1
+
+        def coupled_stage(x, u, t, ctx):          # ctx [N-1, nx]
+            total = base_stage(x, u, t)
+            for j in range(n_others):
+                total = total + inter(x, ctx[j], t)
+            return total
+
+        return with_context_cost(specs, coupled_stage)
+
+    def _objective(self, specs: OCPSpec, controls, context):
+        """Per-agent cost of rolled-out controls (context-aware): [N]."""
+        def one(spec, u, parts):
+            xs = spec.rollout(u)
+            s = spec.replace(context=parts) if self._coupled else spec
+            return s.cost(xs, u), xs
+
+        if self._coupled:
+            costs, xs = jax.vmap(one)(specs, controls, context)
+        else:
+            costs, xs = jax.vmap(lambda s, u: one(s, u, None))(specs, controls)
+        return costs, xs
+
+    def _initial_state_costs(self, specs: OCPSpec):
+        xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+        ctx0 = self._ctx_for(xs0) if self._coupled else None
+        costs0, _ = self._objective(specs, specs.initial_controls, ctx0)
+        return xs0, costs0
+
+    def _sweep_specs(self, specs: OCPSpec, warm, states):
+        s = specs.replace(initial_controls=warm)
+        if self._coupled:
+            s = s.replace(context=self._ctx_for(states))
+        return s
+
+    def _finalize(self, specs, states, controls):
+        """Recompute final per-agent costs against the FINAL joint plans."""
+        ctx = self._ctx_for(states) if self._coupled else None
+        costs, _ = self._objective(specs, controls, ctx)
+        return states, controls, costs
+
+    # -- template method -------------------------------------------------
     def _run_stacked(self, specs: OCPSpec):
         raise NotImplementedError
 
-    # -- host fallback (heterogeneous agents) ---------------------------
     def _run_host(self, problem: MultiAgentProblem) -> None:
         raise NotImplementedError
 
@@ -95,11 +145,18 @@ class _NashBase:
             problem.compute_offsets()
         if agents_are_homogeneous(problem):
             specs = stack_agent_specs(problem)
-            if self._jitted is None:
+            specs = self._prepare(problem, specs)
+            key = (specs.initial_state.shape[0], self._coupled)
+            if self._jitted is None or self._jitted_key != key:
                 self._jitted = jax.jit(self._run_stacked)
+                self._jitted_key = key
             states, controls, costs = self._jitted(specs)
             scatter_stacked_results(problem, states, controls, costs)
         else:
+            if problem.inter_agent_cost is not None:
+                raise NotImplementedError(
+                    "inter-agent coupling requires homogeneous agents"
+                )
             self._run_host(problem)
         return collect_solution(problem)
 
@@ -119,19 +176,15 @@ class SequentialNashStrategy(_NashBase):
     name = "sequential"
 
     def _run_stacked(self, specs: OCPSpec):
-        batched_solve = _vmapped_solve(type(self.solver_proto), self._config)
-
-        objective = _batched_objective(specs)
-
         def sweep(_, carry):
-            warm, _, _ = carry
-            results = batched_solve(specs.replace(initial_controls=warm))
+            warm, states, _ = carry
+            results = self._batched_solve(self._sweep_specs(specs, warm, states))
             return (results.controls, results.states, results.cost)
 
-        init_costs, init_xs = objective(specs.initial_controls)
-        init = (specs.initial_controls, init_xs, init_costs)
-        controls, states, costs = jax.lax.fori_loop(0, self.max_outer, sweep, init)
-        return states, controls, costs
+        xs0, costs0 = self._initial_state_costs(specs)
+        init = (specs.initial_controls, xs0, costs0)
+        controls, states, _ = jax.lax.fori_loop(0, self.max_outer, sweep, init)
+        return self._finalize(specs, states, controls)
 
     def _run_host(self, problem: MultiAgentProblem) -> None:
         solvers = self._make_host_solvers(problem)
@@ -149,16 +202,15 @@ class LineSearchNashStrategy(_NashBase):
     name = "linesearch"
 
     def _run_stacked(self, specs: OCPSpec):
-        batched_solve = _vmapped_solve(type(self.solver_proto), self._config)
-        objective = _batched_objective(specs)
-
         alphas = jnp.asarray([0.5**k for k in range(1, 10)],
                              specs.initial_state.dtype)  # 0.5 .. ~0.002 > 1e-3
 
         def outer(_, carry):
             best_u, best_x, best_costs, base_cost = carry
 
-            results = batched_solve(specs.replace(initial_controls=best_u))
+            results = self._batched_solve(
+                self._sweep_specs(specs, best_u, best_x)
+            )
             new_cost = jnp.sum(results.cost)
 
             def accept_sweep(_):
@@ -169,7 +221,11 @@ class LineSearchNashStrategy(_NashBase):
 
                 def trial(alpha):
                     u = best_u + alpha * (cand - best_u)
-                    costs, xs = objective(u)
+                    ctx = None
+                    if self._coupled:
+                        xs = jax.vmap(lambda s, uu: s.rollout(uu))(specs, u)
+                        ctx = self._ctx_for(xs)
+                    costs, xs = self._objective(specs, u, ctx)
                     return jnp.sum(costs), u, xs, costs
 
                 totals, us, xss, costss = jax.vmap(trial)(alphas)
@@ -186,10 +242,10 @@ class LineSearchNashStrategy(_NashBase):
             return jax.lax.cond(new_cost < base_cost, accept_sweep, backtrack,
                                 operand=None)
 
-        init_costs, init_xs = objective(specs.initial_controls)
-        init = (specs.initial_controls, init_xs, init_costs, jnp.sum(init_costs))
-        best_u, best_x, best_costs, _ = jax.lax.fori_loop(0, self.max_outer, outer, init)
-        return best_x, best_u, best_costs
+        xs0, costs0 = self._initial_state_costs(specs)
+        init = (specs.initial_controls, xs0, costs0, jnp.sum(costs0))
+        best_u, best_x, _, _ = jax.lax.fori_loop(0, self.max_outer, outer, init)
+        return self._finalize(specs, best_x, best_u)
 
     def _run_host(self, problem: MultiAgentProblem) -> None:
         solvers = self._make_host_solvers(problem)
@@ -241,22 +297,23 @@ class TrustRegionNashStrategy(_NashBase):
     name = "trustregion"
 
     def _run_stacked(self, specs: OCPSpec):
-        batched_solve = _vmapped_solve(type(self.solver_proto), self._config)
-        objective = _batched_objective(specs)
-
         def outer(_, carry):
             best_u, best_x, best_costs, radii = carry
 
-            results = batched_solve(specs.replace(initial_controls=best_u))
+            results = self._batched_solve(
+                self._sweep_specs(specs, best_u, best_x)
+            )
             delta = results.controls - best_u
             norms = jnp.sqrt(jnp.sum(delta**2, axis=(1, 2)))
 
             over = norms > radii
             scale = jnp.where(over, radii / jnp.maximum(norms, 1e-30), 1.0)
             cand_u = best_u + scale[:, None, None] * delta
-            cand_costs, cand_x = objective(cand_u)
-            # When the step was not scaled back, keep the solver's own
-            # trajectory/cost (matches nash.hpp:211-222).
+            # Evaluate against the pre-sweep (frozen) plans of the others.
+            ctx = self._ctx_for(best_x) if self._coupled else None
+            cand_costs, cand_x = self._objective(specs, cand_u, ctx)
+            # Unscaled steps keep the solver's own trajectory/cost
+            # (nash.hpp:211-222).
             cand_u = jnp.where(over[:, None, None], cand_u, results.controls)
             cand_x = jnp.where(over[:, None, None], cand_x, results.states)
             cand_costs = jnp.where(over, cand_costs, results.cost)
@@ -268,11 +325,11 @@ class TrustRegionNashStrategy(_NashBase):
             radii = jnp.where(accept, radii * 1.5, radii * 0.5)
             return best_u, best_x, best_costs, radii
 
-        init_costs, init_xs = objective(specs.initial_controls)
+        xs0, costs0 = self._initial_state_costs(specs)
         radii = jnp.ones((specs.initial_controls.shape[0],), specs.initial_state.dtype)
-        init = (specs.initial_controls, init_xs, init_costs, radii)
-        best_u, best_x, best_costs, _ = jax.lax.fori_loop(0, self.max_outer, outer, init)
-        return best_x, best_u, best_costs
+        init = (specs.initial_controls, xs0, costs0, radii)
+        best_u, best_x, _, _ = jax.lax.fori_loop(0, self.max_outer, outer, init)
+        return self._finalize(specs, best_x, best_u)
 
     def _run_host(self, problem: MultiAgentProblem) -> None:
         solvers = self._make_host_solvers(problem)

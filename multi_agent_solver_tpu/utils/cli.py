@@ -63,6 +63,10 @@ class MultiAgentOptions:
     max_outer: int = 10
     solver: str = "ilqr"
     strategy: str = "centralized"
+    # Extension beyond the reference CLI: inter-agent collision-avoidance
+    # coupling weight (0 disables, reproducing the reference's uncoupled
+    # agents).
+    coupling: float = 0.0
     show_help: bool = False
 
 
@@ -86,6 +90,7 @@ def parse_multi_agent_options(argv: List[str]) -> MultiAgentOptions:
         max_outer=int(options.get("max-outer", 10)),
         solver=options.get("solver", "ilqr"),
         strategy=options.get("strategy", "centralized"),
+        coupling=float(options.get("coupling", 0.0)),
         show_help=show_help,
     )
 
