@@ -30,6 +30,15 @@ Parity notes (deliberately preserved reference behaviour):
 * Dual updates and the penalty schedule run every iteration after the line
   search (ilqr.hpp:239-260); convergence requires merit improvement below
   tolerance AND violations below constraint_tolerance (ilqr.hpp:269-271).
+* One deliberate fix over the reference: the line-search acceptance merit is
+  recomputed with the CURRENT multipliers/penalty at the top of every
+  iteration.  The reference carries the previous iteration's merit value
+  across its dual updates (ilqr.hpp:234 vs 239-260), so once multipliers
+  grow, every trial compares against a stale (too low) bar and the solver
+  deadlocks with violated constraints.  None of the reference's examples use
+  functional constraints, so its behaviour there is unaffected -- and for
+  unconstrained problems merit == cost and the recomputation is the
+  identical value, preserving exact parity.
 * ``max_ms`` wall-clock budgets are not representable inside a compiled TPU
   program; iteration counts are the budget (see docs/DESIGN.md).
 """
@@ -268,7 +277,11 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         return (it < config.max_iterations) & ~converged
 
     def body(state):
-        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, _, _ = state
+        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, _, _ = state
+
+        # Fresh merit under the CURRENT multipliers/penalty (see module
+        # docstring: fixes the reference's stale-merit deadlock).
+        merit = compute_merit(spec, config, xs, us, eq_mult, ineq_mult, rho)
 
         A, B, lx, lu, lxx, luu, lux = _linearize(spec, config, xs, us)
         lx, lu, lxx, luu, lux = _add_al_terms(
@@ -428,8 +441,13 @@ def solve_ilqr_batched(
         return (it < config.max_iterations) & jnp.any(~converged)
 
     def body(state):
-        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
+        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
         active = ~converged
+
+        # Fresh merit under current multipliers (see solve_ilqr body).
+        merit = jax.vmap(
+            lambda s, x, u, e, i, r: compute_merit(s, config, x, u, e, i, r)
+        )(specs, xs, us, eq_mult, ineq_mult, rho)
 
         if lane_linearize:
             from ..ops.linearize_pallas import linearize_pallas
