@@ -106,16 +106,19 @@ def _make_kernel(T, nx, nu, dt, dynamics, stage_cost, terminal_cost, has_bounds)
             u_rows.append(u_i)
         u = jnp.stack(u_rows, axis=0)     # [nu, 8, 128]
 
-        cost_s[...] = cost_s[...] + stage_cost(x, u, t)
-        x_next = rk4(x, u)
+        # astype guards: user cost/dynamics functions may upcast to f64 under
+        # jax_enable_x64 (e.g. via result_type(float)); refs are f32.
+        f32 = jnp.float32
+        cost_s[...] = (cost_s[...] + stage_cost(x, u, t)).astype(f32)
+        x_next = rk4(x, u).astype(f32)
 
         xs_out[0, 0] = x_next
-        us_out[0, 0] = u
+        us_out[0, 0] = u.astype(f32)
         x_s[...] = x_next
 
         @pl.when(t == T - 1)
         def _():
-            cost_out[0] = cost_s[...] + terminal_cost(x_next)
+            cost_out[0] = (cost_s[...] + terminal_cost(x_next)).astype(f32)
 
     return kernel
 

@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: forward line search with IN-KERNEL alpha selection.
+
+The first-generation forward kernel (ops/forward_pallas.py) replicates every
+per-problem array across the candidate alphas (10x HBM traffic) and returns
+all candidates for an XLA-side argmax/gather -- profiling shows the
+replication copies and pads cost as much as the kernel itself.  This kernel
+keeps lanes = problems and runs a TWO-PHASE grid over time:
+
+* phase 1 (grid steps 0..T-1): carry ALL alpha candidates' states
+  concurrently in a VMEM scratch ``[A, nx, 8, 128]``, accumulating each
+  candidate's total cost;
+* between phases (first step of phase 2): add terminal costs, pick each
+  lane's winning alpha -- the LARGEST candidate whose cost beats the
+  incoming merit, exactly the reference's decreasing-first-accept order
+  (ilqr.hpp:199-228); lanes with no winner select alpha = 0, whose feedback
+  rollout reproduces the reference trajectory identically (u = u_ref when
+  x == x_ref), so every output is well-defined without masking;
+* phase 2 (grid steps T..2T-1): re-roll only the selected alpha and write
+  the accepted trajectory, controls, cost and accept flag.
+
+Total compute is A+1 rollouts (vs A before) but HBM traffic drops from
+O(A * T * nx) to O(T * nx) and the XLA-side select/gather disappears.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import Array
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+
+
+def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
+                 has_bounds):
+    f32 = jnp.float32
+
+    def rk4(x, u):
+        k1 = dynamics(x, u)
+        k2 = dynamics(x + (0.5 * dt) * k1, u)
+        k3 = dynamics(x + (0.5 * dt) * k2, u)
+        k4 = dynamics(x + dt * k3, u)
+        return (x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)).astype(f32)
+
+    def control(x, x_ref, u_ref, k_t, K_t, alpha, lb, ub):
+        dx = x - x_ref
+        rows = []
+        for i in range(nu):
+            u_i = u_ref[i] + alpha * k_t[i] + sum(
+                K_t[i, j] * dx[j] for j in range(nx)
+            )
+            if has_bounds:
+                u_i = jnp.minimum(jnp.maximum(u_i, lb[i]), ub[i])
+            rows.append(u_i.astype(f32))
+        return jnp.stack(rows, axis=0)
+
+    def kernel(xref_ref, uref_ref, k_ref, K_ref, merit_ref, lb_ref, ub_ref,
+               xs_out, us_out, cost_out, accept_out,
+               xA_s, costA_s, x2_s, alpha_s):
+        t = pl.program_id(1)
+        phase1 = t < T
+
+        x_ref = xref_ref[0, 0]
+        u_ref = uref_ref[0, 0]
+        k_t = k_ref[0, 0]
+        K_t = K_ref[0, 0]
+        lb = lb_ref[0]
+        ub = ub_ref[0]
+
+        @pl.when(t == 0)
+        def _():
+            for a in range(A):
+                xA_s[a] = x_ref         # trial state starts at x_ref[0] == x0
+            costA_s[...] = jnp.zeros((A, SUB, LANE), f32)
+
+        @pl.when(phase1)
+        def _():
+            for a in range(A):
+                x = xA_s[a]
+                u = control(x, x_ref, u_ref, k_t, K_t, jnp.float32(alphas[a]), lb, ub)
+                costA_s[a] = (costA_s[a] + stage_cost(x, u, t)).astype(f32)
+                xA_s[a] = rk4(x, u)
+
+        @pl.when(t == T)
+        def _():
+            merit = merit_ref[0]
+            sel = jnp.zeros((SUB, LANE), f32)
+            found = jnp.zeros((SUB, LANE), jnp.bool_)
+            best_cost = merit
+            # Iterate from smallest alpha up so the LARGEST improving alpha
+            # is applied last (reference first-accept order).
+            for a in range(A - 1, -1, -1):
+                total = (costA_s[a] + terminal_cost(xA_s[a])).astype(f32)
+                ok = total < merit
+                sel = jnp.where(ok, jnp.float32(alphas[a]), sel)
+                best_cost = jnp.where(ok, total, best_cost)
+                found = jnp.logical_or(found, ok)
+            alpha_s[...] = sel
+            cost_out[0] = best_cost
+            accept_out[0] = found.astype(f32)
+            x2_s[...] = x_ref           # phase-2 rollout restarts at x0
+
+        @pl.when(~phase1)
+        def _():
+            x = x2_s[...]
+            u = control(x, x_ref, u_ref, k_t, K_t, alpha_s[...], lb, ub)
+            x_next = rk4(x, u)
+            xs_out[0, 0] = x_next
+            us_out[0, 0] = u
+            x2_s[...] = x_next
+
+    return kernel
+
+
+def _to_lanes(x: Array, Lp: int):
+    x = jnp.moveaxis(x, 0, -1)
+    x = x.reshape(x.shape[:-1] + (Lp // TILE, SUB, LANE))
+    return jnp.moveaxis(x, -3, 0)
+
+
+def _from_lanes(x: Array, L: int):
+    x = jnp.moveaxis(x, 0, -3)
+    x = x.reshape(x.shape[:-3] + (-1,))
+    return jnp.moveaxis(x, -1, 0)[:L]
+
+
+def forward_select_pallas(
+    spec,
+    xs: Array,        # [B, T+1, nx] reference trajectory
+    us: Array,        # [B, T, nu] reference controls
+    k: Array,         # [B, T, nu]
+    K: Array,         # [B, T, nu, nx]
+    merit: Array,     # [B] current merit to beat
+    alphas: Tuple[float, ...],
+    interpret: bool = False,
+):
+    """Returns accepted ``xs_new [B, T+1, nx]``, ``us_new [B, T, nu]``,
+    ``merit_new [B]``, ``accepted [B] (bool)``.
+
+    Unaccepted lanes reproduce the reference trajectory/controls exactly
+    (alpha = 0 feedback rollout) and keep their incoming merit.
+    """
+    B, Tp1, nx = xs.shape
+    T = Tp1 - 1
+    nu = us.shape[-1]
+    A = len(alphas)
+    pad = (-B) % TILE
+    Bp = B + pad
+    dtype = jnp.float32
+
+    def padded(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+        return x.astype(dtype)
+
+    pack = lambda arr: _to_lanes(padded(arr), Bp)
+
+    xref_l = pack(xs[:, :-1])
+    uref_l = pack(us)
+    k_l = pack(k)
+    K_l = pack(K)
+    # Pad lanes' merit with -inf so padded lanes never "accept".
+    merit_p = jnp.concatenate(
+        [merit.astype(dtype), jnp.full((pad,), -jnp.inf, dtype)]
+    ) if pad else merit.astype(dtype)
+    merit_l = _to_lanes(merit_p, Bp)
+
+    has_bounds = spec.has_input_bounds
+    if has_bounds:
+        lb = jnp.broadcast_to(spec.input_lower_bounds, (B, nu))
+        ub = jnp.broadcast_to(spec.input_upper_bounds, (B, nu))
+    else:
+        lb = jnp.zeros((B, nu), dtype)
+        ub = jnp.zeros((B, nu), dtype)
+    lb_l = _to_lanes(padded(lb), Bp)
+    ub_l = _to_lanes(padded(ub), Bp)
+
+    nl = Bp // TILE
+    kernel = _make_kernel(
+        T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
+        spec.dynamics, spec.stage_cost, spec.terminal_cost, has_bounds,
+    )
+
+    tmod = lambda t: jnp.where(t >= T, t - T, t)
+    tspec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (SUB, LANE),
+        lambda b, t: (b, tmod(t)) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cspec = lambda *inner: pl.BlockSpec(
+        (1,) + inner + (SUB, LANE),
+        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    xs_l, us_l, cost_l, accept_l = pl.pallas_call(
+        kernel,
+        grid=(nl, 2 * T),
+        in_specs=[
+            tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
+            cspec(), cspec(nu), cspec(nu),
+        ],
+        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, T, nu, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A, nx, SUB, LANE), dtype),
+            pltpu.VMEM((A, SUB, LANE), dtype),
+            pltpu.VMEM((nx, SUB, LANE), dtype),
+            pltpu.VMEM((SUB, LANE), dtype),
+        ],
+        interpret=interpret,
+    )(xref_l, uref_l, k_l, K_l, merit_l, lb_l, ub_l)
+
+    xs_tail = _from_lanes(xs_l, B)                   # [B, T, nx]
+    us_new = _from_lanes(us_l, B).astype(us.dtype)
+    merit_new = _from_lanes(cost_l, B).astype(merit.dtype)
+    accepted = _from_lanes(accept_l, B) > 0.5
+    xs_new = jnp.concatenate([xs[:, :1].astype(xs_tail.dtype), xs_tail], axis=1)
+    return xs_new.astype(xs.dtype), us_new, merit_new, accepted

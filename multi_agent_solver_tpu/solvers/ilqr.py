@@ -101,14 +101,19 @@ class ILQRConfig:
         )
 
 
-def _alpha_ladder(alpha_min: float, dtype) -> Array:
-    """Forward-pass candidates 1, 1/2, 1/4, ... down to alpha_min (ilqr.hpp:199-206)."""
+def _alpha_ladder_floats(alpha_min: float):
+    """Python-float candidates 1, 1/2, 1/4, ... down to alpha_min (ilqr.hpp:199-206)."""
     alphas = []
     alpha = 1.0
     while alpha >= alpha_min:
         alphas.append(alpha)
         alpha *= 0.5
-    return jnp.asarray(alphas, dtype)
+    return tuple(alphas)
+
+
+def _alpha_ladder(alpha_min: float, dtype) -> Array:
+    """Array form of the forward-pass candidate ladder."""
+    return jnp.asarray(_alpha_ladder_floats(alpha_min), dtype)
 
 
 def compute_merit(
@@ -484,20 +489,20 @@ def solve_ilqr_batched(
             )(specs, xs, A, Bm, lx, lu, lxx, luu, lux)
 
         if lane_forward:
-            alphas = _alpha_ladder(config.alpha_min, dtype)
-            xs_cand, us_cand, cand_costs = forward_pass_pallas(
-                specs, xs, us, k, K, alphas, interpret
+            from ..ops.forward_select_pallas import forward_select_pallas
+
+            # In-kernel alpha selection: one launch scores every candidate
+            # and re-rolls only each lane's winner (reference first-accept
+            # order preserved; unconstrained merit == objective).
+            alpha_tuple = _alpha_ladder_floats(config.alpha_min)
+            xs_sel, us_sel, merit_new, accepted = forward_select_pallas(
+                specs, xs, us, k, K, merit, alpha_tuple, interpret
             )
-            cand_costs = cand_costs.astype(dtype)
-            # Unconstrained merit == objective; largest improving alpha wins
-            # (equivalent to the reference's decreasing first-accept order).
-            ok = cand_costs < merit[:, None]
-            idx = jnp.argmax(ok, axis=1)
-            found = jnp.any(ok, axis=1)
-            rows = jnp.arange(B)
-            xs_new = jnp.where(found[:, None, None], xs_cand[rows, idx], xs)
-            us_new = jnp.where(found[:, None, None], us_cand[rows, idx], us)
-            merit_new = jnp.where(found, cand_costs[rows, idx], merit)
+            merit_new = merit_new.astype(dtype)
+            # Rejected lanes keep their previous trajectory bit-exactly.
+            xs_new = jnp.where(accepted[:, None, None], xs_sel.astype(dtype), xs)
+            us_new = jnp.where(accepted[:, None, None], us_sel.astype(dtype), us)
+            merit_new = jnp.where(accepted, merit_new, merit)
             cost_new = merit_new
         else:
             xs_new, us_new, merit_new = jax.vmap(
