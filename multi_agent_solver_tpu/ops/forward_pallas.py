@@ -56,18 +56,36 @@ def lane_traceable(fn: Callable, arg_shapes, out_shape) -> bool:
         return False
 
 
-def spec_supports_lane_forward(spec) -> bool:
-    """Probe dynamics/stage/terminal for lane tracing (cached per spec id)."""
-    T = spec.horizon_steps
+def spec_supports_lane_forward(spec, context_inner=None) -> bool:
+    """Probe dynamics/stage/terminal for lane tracing.
+
+    ``context_inner``: inner shape of the per-stage context (e.g. ``(N-1,
+    nx)`` for coupled Nash) when the spec carries one; the stage cost is then
+    probed with a lane-shaped context argument.
+    """
     nx, nu = spec.state_dim, spec.control_dim
     if spec.eq_dim > 0 or spec.ineq_dim > 0:
         return False
-    if spec.context is not None:   # context-dependent stage costs: XLA path
+    if spec.context is not None and context_inner is None:
         return False
+    if context_inner is not None:
+        # Context blocks stream per grid step as [*inner, 8, 128] f32 tiles
+        # (double-buffered); keep them well under the ~16 MB VMEM budget.
+        elems = 1
+        for d in context_inner:
+            elems *= d
+        if elems * TILE * 4 > 2 * 1024 * 1024:
+            return False
     dyn_ok = lane_traceable(spec.dynamics, [(nx,), (nu,)], (nx,))
-    stage_ok = lane_traceable(
-        lambda x, u: spec.stage_cost(x, u, jnp.asarray(0)), [(nx,), (nu,)], ()
-    )
+    if context_inner is not None:
+        stage_ok = lane_traceable(
+            lambda x, u, c: spec.stage_cost(x, u, jnp.asarray(0), c),
+            [(nx,), (nu,), tuple(context_inner)], (),
+        )
+    else:
+        stage_ok = lane_traceable(
+            lambda x, u: spec.stage_cost(x, u, jnp.asarray(0)), [(nx,), (nu,)], ()
+        )
     term_ok = lane_traceable(spec.terminal_cost, [(nx,)], ())
     return dyn_ok and stage_ok and term_ok
 

@@ -39,7 +39,7 @@ TILE = SUB * LANE
 
 
 def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
-                 has_bounds):
+                 has_bounds, has_context):
     f32 = jnp.float32
 
     def rk4(x, u):
@@ -62,8 +62,13 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         return jnp.stack(rows, axis=0)
 
     def kernel(xref_ref, uref_ref, k_ref, K_ref, merit_ref, lb_ref, ub_ref,
-               xs_out, us_out, cost_out, accept_out,
-               xA_s, costA_s, x2_s, alpha_s):
+               *rest):
+        if has_context:
+            ctx_ref = rest[0]
+            rest = rest[1:]
+        (xs_out, us_out, cost_out, accept_out,
+         xA_s, costA_s, x2_s, alpha_s) = rest
+
         t = pl.program_id(1)
         phase1 = t < T
 
@@ -73,6 +78,11 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         K_t = K_ref[0, 0]
         lb = lb_ref[0]
         ub = ub_ref[0]
+        if has_context:
+            ctx_t = ctx_ref[0, 0]
+            stage = lambda x, u, tt: stage_cost(x, u, tt, ctx_t)
+        else:
+            stage = stage_cost
 
         @pl.when(t == 0)
         def _():
@@ -85,7 +95,7 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             for a in range(A):
                 x = xA_s[a]
                 u = control(x, x_ref, u_ref, k_t, K_t, jnp.float32(alphas[a]), lb, ub)
-                costA_s[a] = (costA_s[a] + stage_cost(x, u, t)).astype(f32)
+                costA_s[a] = (costA_s[a] + stage(x, u, t)).astype(f32)
                 xA_s[a] = rk4(x, u)
 
         @pl.when(t == T)
@@ -182,10 +192,21 @@ def forward_select_pallas(
     lb_l = _to_lanes(padded(lb), Bp)
     ub_l = _to_lanes(padded(ub), Bp)
 
+    has_context = spec.context is not None
+    extra_inputs = []
+    extra_specs = []
+    ctx_inner = ()
+    if has_context:
+        ctx = spec.context                       # [B, T, C...]
+        ctx_inner = tuple(ctx.shape[2:])
+        extra_inputs.append(pack(ctx))
+        # tspec built below once its factory exists; placeholder appended then.
+
     nl = Bp // TILE
     kernel = _make_kernel(
         T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
         spec.dynamics, spec.stage_cost, spec.terminal_cost, has_bounds,
+        has_context,
     )
 
     tmod = lambda t: jnp.where(t >= T, t - T, t)
@@ -200,13 +221,16 @@ def forward_select_pallas(
         memory_space=pltpu.VMEM,
     )
 
+    if has_context:
+        extra_specs.append(tspec(*ctx_inner))
+
     xs_l, us_l, cost_l, accept_l = pl.pallas_call(
         kernel,
         grid=(nl, 2 * T),
         in_specs=[
             tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
             cspec(), cspec(nu), cspec(nu),
-        ],
+        ] + extra_specs,
         out_specs=[tspec(nx), tspec(nu), cspec(), cspec()],
         out_shape=[
             jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
@@ -221,7 +245,7 @@ def forward_select_pallas(
             pltpu.VMEM((SUB, LANE), dtype),
         ],
         interpret=interpret,
-    )(xref_l, uref_l, k_l, K_l, merit_l, lb_l, ub_l)
+    )(xref_l, uref_l, k_l, K_l, merit_l, lb_l, ub_l, *extra_inputs)
 
     xs_tail = _from_lanes(xs_l, B)                   # [B, T, nx]
     us_new = _from_lanes(us_l, B).astype(us.dtype)
@@ -229,3 +253,23 @@ def forward_select_pallas(
     accepted = _from_lanes(accept_l, B) > 0.5
     xs_new = jnp.concatenate([xs[:, :1].astype(xs_tail.dtype), xs_tail], axis=1)
     return xs_new.astype(xs.dtype), us_new, merit_new, accepted
+
+
+def rollout_select(spec, x0: Array, us: Array, interpret: bool = False):
+    """Plain batched rollout + cost via the select kernel (context-aware).
+
+    alpha = 0 with zero gains makes the phase-2 rollout apply ``us`` raw;
+    bounds are stripped so nothing clamps (reference plain rollouts never
+    clamp).  Returns ``xs [B, T+1, nx]``, ``costs [B]``.
+    """
+    B, T, nu = us.shape
+    nx = x0.shape[-1]
+    zeros_k = jnp.zeros((B, T, nu), jnp.float32)
+    zeros_K = jnp.zeros((B, T, nu, nx), jnp.float32)
+    xs_ref = jnp.broadcast_to(x0[:, None, :], (B, T + 1, nx))
+    unbounded = spec.replace(input_lower_bounds=None, input_upper_bounds=None)
+    merit_inf = jnp.full((B,), jnp.inf, jnp.float32)
+    xs_new, _, costs, _ = forward_select_pallas(
+        unbounded, xs_ref, us, zeros_k, zeros_K, merit_inf, (0.0,), interpret
+    )
+    return xs_new, costs

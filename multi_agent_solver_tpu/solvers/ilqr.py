@@ -395,10 +395,13 @@ def solve_ilqr_batched(
         spec_supports_lane_forward,
     )
 
+    context_inner = (
+        tuple(specs.context.shape[2:]) if specs.context is not None else None
+    )
     lane_forward = (
         backward == "pallas"
         and specs.objective_is_default
-        and spec_supports_lane_forward(specs)
+        and spec_supports_lane_forward(specs, context_inner)
     )
     # Fused in-kernel-AD linearization (opt-in: measured slower than the
     # XLA-fused vmapped linearizer on v5e for jvp-through-RK4 Jacobians, but
@@ -422,7 +425,9 @@ def solve_ilqr_batched(
 
     us0 = specs.initial_controls
     if lane_forward:
-        xs0, cost0 = rollout_pallas(specs, specs.initial_state, us0, interpret)
+        from ..ops.forward_select_pallas import rollout_select
+
+        xs0, cost0 = rollout_select(specs, specs.initial_state, us0, interpret)
         xs0 = xs0.astype(dtype)
         cost0 = cost0.astype(dtype)
     else:

@@ -92,13 +92,14 @@ class _NashBase:
         self._ctx_for = ctx_for
 
         base_stage = specs.stage_cost
-        n_others = n - 1
 
         def coupled_stage(x, u, t, ctx):          # ctx [N-1, nx]
-            total = base_stage(x, u, t)
-            for j in range(n_others):
-                total = total + inter(x, ctx[j], t)
-            return total
+            # vmap over the others keeps the trace size O(1) in agent count
+            # (an unrolled pair loop makes compilation O(N) and intractable
+            # past a few dozen agents); works on both per-problem vectors and
+            # lane-shaped kernel values.
+            pair_costs = jax.vmap(lambda cj: inter(x, cj, t))(ctx)
+            return base_stage(x, u, t) + jnp.sum(pair_costs, axis=0)
 
         return with_context_cost(specs, coupled_stage)
 
