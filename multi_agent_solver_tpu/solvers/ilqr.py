@@ -79,6 +79,12 @@ class ILQRConfig:
     # (ilqr.hpp:106-119) and consequently stalls far from the optimum on e.g.
     # the single-track benchmark (see docs/PARITY.md).
     jacobian_mode: str = "discrete"
+    # 'clamp' (default): reference behaviour -- unconstrained gains, controls
+    # clamped per step in the forward pass (ilqr.hpp:213-214).  'boxqp':
+    # control-limited DDP -- the backward pass solves each stage's
+    # box-constrained QP exactly (ops/boxqp.py) and zeroes feedback rows of
+    # clamped dims; escapes the bound-corner stalls the clamp can hit.
+    bound_mode: str = "clamp"
     debug: bool = False
 
     @classmethod
@@ -97,6 +103,7 @@ class ILQRConfig:
             jacobian_mode=(
                 "continuous" if param_flag(params, "continuous_jacobians") else "discrete"
             ),
+            bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
             debug=param_flag(params, "debug"),
         )
 
@@ -196,27 +203,67 @@ def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mul
     return lx, lu, lxx, luu, lux
 
 
-def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux):
-    """Riccati recursion as a reverse scan (reference loop: ilqr.hpp:104-193)."""
+def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None):
+    """Riccati recursion as a reverse scan (reference loop: ilqr.hpp:104-193).
+
+    With ``config.bound_mode == 'boxqp'`` (and input bounds present), each
+    stage's gains come from the exact box-constrained QP instead of the
+    unconstrained solve-then-clamp (``us`` supplies the linearization point
+    for the delta bounds).
+    """
+    use_boxqp = (
+        config.bound_mode == "boxqp"
+        and spec.has_input_bounds
+        and spec.control_dim <= 3
+        and us is not None
+    )
     v_x = spec.derivs.phix(xs[-1])
     v_xx = spec.derivs.phixx(xs[-1])
     v_xx = 0.5 * (v_xx + v_xx.T)  # ilqr.hpp:102
 
+    scan_inputs = (A, B, lx, lu, lxx, luu, lux)
+    if use_boxqp:
+        scan_inputs = scan_inputs + (us,)
+
     def step(carry, inputs):
         v_x, v_xx = carry
-        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inputs
+        if use_boxqp:
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, u_t = inputs
+        else:
+            A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t = inputs
         q_x = lx_t + A_t.T @ v_x
         q_u = lu_t + B_t.T @ v_x
         q_xx = lxx_t + A_t.T @ v_xx @ A_t
         q_ux = lux_t + B_t.T @ v_xx @ A_t
         q_uu = luu_t + B_t.T @ v_xx @ B_t
 
-        rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)
-        sol, _ = psd_solve_with_escalation(
-            q_uu, rhs, config.reg_init, config.reg_factor, config.reg_levels
-        )
-        k_t = -sol[:, 0]
-        K_t = -sol[:, 1:]
+        if use_boxqp:
+            from ..ops.boxqp import boxqp_gains
+            from ..ops.small import leading_minors_positive
+
+            # Same cumulative regularization ladder, materialized so the
+            # box-QP sees the regularized Hessian.
+            j = jnp.arange(config.reg_levels, dtype=q_uu.dtype)
+            levels = config.reg_init * (config.reg_factor**j - 1.0) / (
+                config.reg_factor - 1.0
+            )
+            eye = jnp.eye(q_uu.shape[0], dtype=q_uu.dtype)
+            cands = q_uu[None] + levels[:, None, None] * eye
+            ok = leading_minors_positive(cands)
+            idx = jnp.where(jnp.any(ok), jnp.argmax(ok), config.reg_levels - 1)
+            q_uu_reg = q_uu + levels[idx] * eye
+            k_t, K_t = boxqp_gains(
+                q_uu_reg, q_u, q_ux,
+                spec.input_lower_bounds - u_t,
+                spec.input_upper_bounds - u_t,
+            )
+        else:
+            rhs = jnp.concatenate([q_u[:, None], q_ux], axis=1)
+            sol, _ = psd_solve_with_escalation(
+                q_uu, rhs, config.reg_init, config.reg_factor, config.reg_levels
+            )
+            k_t = -sol[:, 0]
+            K_t = -sol[:, 1:]
 
         # Value recursion incl. K^T q_uu k terms (ilqr.hpp:188-192).
         v_x_new = q_x + K_t.T @ q_u + q_ux.T @ k_t + K_t.T @ (q_uu @ k_t)
@@ -224,7 +271,7 @@ def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux):
         v_xx_new = 0.5 * (v_xx_new + v_xx_new.T)
         return (v_x_new, v_xx_new), (k_t, K_t)
 
-    _, (k, K) = jax.lax.scan(step, (v_x, v_xx), (A, B, lx, lu, lxx, luu, lux), reverse=True)
+    _, (k, K) = jax.lax.scan(step, (v_x, v_xx), scan_inputs, reverse=True)
     return k, K
 
 
@@ -292,7 +339,7 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         lx, lu, lxx, luu, lux = _add_al_terms(
             spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho
         )
-        k, K = _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux)
+        k, K = _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us)
         xs_new, us_new, merit_new = _forward_pass(
             spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, merit
         )
@@ -387,6 +434,8 @@ def solve_ilqr_batched(
 
     if backward == "auto":
         backward = "pallas" if (nx <= 4 and nu <= 4) else "scan"
+    if config.bound_mode == "boxqp":
+        backward = "scan"   # box-QP gains run in the XLA backward path
     interpret = jax.default_backend() == "cpu"
 
     from ..ops.forward_pallas import (
@@ -488,10 +537,10 @@ def solve_ilqr_batched(
             )
         else:
             k, K = jax.vmap(
-                lambda s, x, a, b, c, d, e, f, g: _backward_pass(
-                    s, config, x, a, b, c, d, e, f, g
+                lambda s, x, a, b, c, d, e, f, g, u: _backward_pass(
+                    s, config, x, a, b, c, d, e, f, g, u
                 )
-            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux)
+            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us)
 
         if lane_forward:
             from ..ops.forward_select_pallas import forward_select_pallas

@@ -131,6 +131,20 @@ class TestConvergence:
         np.testing.assert_allclose(float(result.cost), 18.130933969756, rtol=1e-9)
         assert int(result.iterations) <= 3
 
+    def test_boxqp_reaches_constrained_optimum(self):
+        """Control-limited DDP gains (boxqp=1) reach the true box-constrained
+        optimum 176.2785 (verified with projected Adam, docs/PARITY.md) where
+        the reference's clamp-based forward pass stalls at ~179.9."""
+        ocp = single_track_lane_ocp()
+        result = make_solver(
+            "ilqr", {"max_iterations": 60, "tolerance": 1e-9, "max_ms": 1e9,
+                     "boxqp": 1},
+        ).solve(ocp)
+        np.testing.assert_allclose(float(result.cost), 176.27854, rtol=1e-4)
+        U = np.array(result.controls)
+        assert (np.abs(U[:, 0]) <= 0.7 + 1e-9).all()
+        assert (np.abs(U[:, 1]) <= 1.0 + 1e-9).all()
+
     def test_respects_input_bounds(self):
         ocp = single_track_lane_ocp()
         result = make_solver("ilqr", PARAMS).solve(ocp)
