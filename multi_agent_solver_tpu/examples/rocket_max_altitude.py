@@ -106,7 +106,12 @@ def main(argv=None) -> int:
     solver = make_solver(options.solver, params)
 
     with Timer() as timer:
-        solver.solve(problem)
+        if options.multistart > 1:
+            from ..parallel.multistart import multistart_solve_host
+
+            multistart_solve_host(solver, problem, options.multistart)
+        else:
+            solver.solve(problem)
 
     print(result_line(
         solver=canonical_solver_name(options.solver),

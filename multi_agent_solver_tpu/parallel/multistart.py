@@ -72,3 +72,18 @@ def multistart_solve(
     results = solve_batched_fn(specs)
     best = jnp.argmin(results.cost)
     return jax.tree_util.tree_map(lambda leaf: leaf[best], results)
+
+
+def multistart_solve_host(solver, problem, n_starts: int, seed: int = 0) -> SolveResult:
+    """Host-level multi-start using a reference-style solver object: builds
+    random starts, races them, and writes the best back into ``problem``
+    (the same mutation contract as ``solver.solve``)."""
+    spec = problem.spec()
+    starts = random_control_starts(jax.random.PRNGKey(seed), spec, n_starts)
+    solver_cls = type(solver)
+    result = multistart_solve(
+        lambda specs: solver_cls._solve_batched_fn(specs, solver.config),
+        spec, starts,
+    )
+    problem.set_result(result.states, result.controls, result.cost)
+    return result

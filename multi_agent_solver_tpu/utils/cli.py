@@ -54,6 +54,9 @@ def _parse(argv: List[str]) -> Tuple[Dict[str, str], List[str], bool]:
 @dataclasses.dataclass
 class SolverOptions:
     solver: str = "ilqr"
+    # Extension beyond the reference CLI: race N random warm starts as batch
+    # lanes and keep the best (1 = reference behaviour).
+    multistart: int = 1
     show_help: bool = False
 
 
@@ -74,12 +77,17 @@ class MultiAgentOptions:
 class RocketOptions:
     solver: str = "osqp"
     dump_traces: bool = False
+    multistart: int = 1
     show_help: bool = False
 
 
 def parse_solver_options(argv: List[str]) -> SolverOptions:
     options, _, show_help = _parse(argv)
-    return SolverOptions(solver=options.get("solver", "ilqr"), show_help=show_help)
+    return SolverOptions(
+        solver=options.get("solver", "ilqr"),
+        multistart=int(options.get("multistart", 1)),
+        show_help=show_help,
+    )
 
 
 def parse_multi_agent_options(argv: List[str]) -> MultiAgentOptions:
@@ -100,5 +108,6 @@ def parse_rocket_options(argv: List[str]) -> RocketOptions:
     return RocketOptions(
         solver=options.get("solver", "osqp"),
         dump_traces="dump" in options,
+        multistart=int(options.get("multistart", 1)),
         show_help=show_help,
     )

@@ -101,6 +101,12 @@ class TestCLI:
         assert opts.solver == "osqp" and not opts.dump_traces
         assert parse_rocket_options(["--dump"]).dump_traces
 
+    def test_multistart_and_coupling_extensions(self):
+        assert parse_solver_options([]).multistart == 1
+        assert parse_solver_options(["--multistart", "32"]).multistart == 32
+        assert parse_rocket_options(["--multistart=8"]).multistart == 8
+        assert parse_multi_agent_options(["--coupling", "25"]).coupling == 25.0
+
     def test_help_flag(self):
         assert parse_solver_options(["--help"]).show_help
         assert parse_multi_agent_options(["-h"]).show_help
