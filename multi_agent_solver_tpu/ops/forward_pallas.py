@@ -64,8 +64,13 @@ def spec_supports_lane_forward(spec, context_inner=None) -> bool:
     probed with a lane-shaped context argument.
     """
     nx, nu = spec.state_dim, spec.control_dim
-    if spec.eq_dim > 0 or spec.ineq_dim > 0:
-        return False
+    # AL-constrained problems are supported when the constraint functions
+    # themselves lane-trace (small residual dims).
+    for cons, dim in ((spec.equality_constraints, spec.eq_dim),
+                      (spec.inequality_constraints, spec.ineq_dim)):
+        if dim > 0:
+            if dim > 8 or not lane_traceable(cons, [(nx,), (nu,)], (dim,)):
+                return False
     if spec.context is not None and context_inner is None:
         return False
     if context_inner is not None:

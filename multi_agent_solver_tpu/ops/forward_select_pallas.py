@@ -39,7 +39,8 @@ TILE = SUB * LANE
 
 
 def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
-                 has_bounds, has_context):
+                 has_bounds, has_context,
+                 eq_fn=None, eq_dim=0, ineq_fn=None, ineq_dim=0, act_tol=1e-6):
     f32 = jnp.float32
 
     def rk4(x, u):
@@ -61,13 +62,44 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             rows.append(u_i.astype(f32))
         return jnp.stack(rows, axis=0)
 
+    has_al = eq_dim > 0 or ineq_dim > 0
+
     def kernel(xref_ref, uref_ref, k_ref, K_ref, merit_ref, lb_ref, ub_ref,
                *rest):
         if has_context:
             ctx_ref = rest[0]
             rest = rest[1:]
+        eq_mult_ref = ineq_mult_ref = rho_ref = None
+        if eq_dim > 0:
+            eq_mult_ref = rest[0]
+            rest = rest[1:]
+        if ineq_dim > 0:
+            ineq_mult_ref = rest[0]
+            rest = rest[1:]
+        if has_al:
+            rho_ref = rest[0]
+            rest = rest[1:]
         (xs_out, us_out, cost_out, accept_out,
          xA_s, costA_s, x2_s, alpha_s) = rest
+
+        def al_terms(x, u):
+            """AL merit terms with the inequality activation mask
+            (reference compute_merit, ilqr.hpp:386-403)."""
+            total = jnp.zeros((SUB, LANE), jnp.float32)
+            rho = rho_ref[0]
+            if eq_dim > 0:
+                g = eq_fn(x, u)          # [m, 8, 128]
+                lam = eq_mult_ref[0, 0]  # [m, 8, 128]
+                for m in range(eq_dim):
+                    total = total + lam[m] * g[m] + 0.5 * rho * g[m] * g[m]
+            if ineq_dim > 0:
+                h = ineq_fn(x, u)
+                lam = ineq_mult_ref[0, 0]
+                for m in range(ineq_dim):
+                    active = (h[m] > -act_tol).astype(jnp.float32)
+                    s = jnp.maximum(h[m], 0.0) * active
+                    total = total + (lam[m] * active) * s + 0.5 * rho * s * s
+            return total
 
         t = pl.program_id(1)
         phase1 = t < T
@@ -95,7 +127,10 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             for a in range(A):
                 x = xA_s[a]
                 u = control(x, x_ref, u_ref, k_t, K_t, jnp.float32(alphas[a]), lb, ub)
-                costA_s[a] = (costA_s[a] + stage(x, u, t)).astype(f32)
+                step_cost = stage(x, u, t)
+                if has_al:
+                    step_cost = step_cost + al_terms(x, u)
+                costA_s[a] = (costA_s[a] + step_cost).astype(f32)
                 xA_s[a] = rk4(x, u)
 
         @pl.when(t == T)
@@ -150,6 +185,10 @@ def forward_select_pallas(
     merit: Array,     # [B] current merit to beat
     alphas: Tuple[float, ...],
     interpret: bool = False,
+    eq_mult: Array = None,     # [B, T, eq_dim] AL multipliers (constrained)
+    ineq_mult: Array = None,   # [B, T, ineq_dim]
+    rho: Array = None,         # [B] penalty parameter
+    act_tol: float = 1e-6,
 ):
     """Returns accepted ``xs_new [B, T+1, nx]``, ``us_new [B, T, nu]``,
     ``merit_new [B]``, ``accepted [B] (bool)``.
@@ -202,11 +241,26 @@ def forward_select_pallas(
         extra_inputs.append(pack(ctx))
         # tspec built below once its factory exists; placeholder appended then.
 
+    eq_dim, ineq_dim = spec.eq_dim, spec.ineq_dim
+    al_inputs = []
+    if eq_dim > 0:
+        al_inputs.append(("t", eq_dim, pack(eq_mult)))
+    if ineq_dim > 0:
+        al_inputs.append(("t", ineq_dim, pack(ineq_mult)))
+    if eq_dim > 0 or ineq_dim > 0:
+        rho_p = jnp.concatenate([rho.astype(dtype), jnp.ones((pad,), dtype)]) if pad \
+            else rho.astype(dtype)
+        al_inputs.append(("c", 0, _to_lanes(rho_p, Bp)))
+    extra_inputs.extend(arr for _, _, arr in al_inputs)
+
     nl = Bp // TILE
     kernel = _make_kernel(
         T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
         spec.dynamics, spec.stage_cost, spec.terminal_cost, has_bounds,
         has_context,
+        eq_fn=spec.equality_constraints, eq_dim=eq_dim,
+        ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
+        act_tol=act_tol,
     )
 
     tmod = lambda t: jnp.where(t >= T, t - T, t)
@@ -223,6 +277,8 @@ def forward_select_pallas(
 
     if has_context:
         extra_specs.append(tspec(*ctx_inner))
+    for kind, dim, _ in al_inputs:
+        extra_specs.append(tspec(dim) if kind == "t" else cspec())
 
     xs_l, us_l, cost_l, accept_l = pl.pallas_call(
         kernel,
@@ -267,9 +323,14 @@ def rollout_select(spec, x0: Array, us: Array, interpret: bool = False):
     zeros_k = jnp.zeros((B, T, nu), jnp.float32)
     zeros_K = jnp.zeros((B, T, nu, nx), jnp.float32)
     xs_ref = jnp.broadcast_to(x0[:, None, :], (B, T + 1, nx))
-    unbounded = spec.replace(input_lower_bounds=None, input_upper_bounds=None)
+    # Plain rollout: no clamp, no AL terms -- the cost is the raw objective.
+    plain = spec.replace(
+        input_lower_bounds=None, input_upper_bounds=None,
+        equality_constraints=None, inequality_constraints=None,
+        eq_dim=0, ineq_dim=0,
+    )
     merit_inf = jnp.full((B,), jnp.inf, jnp.float32)
     xs_new, _, costs, _ = forward_select_pallas(
-        unbounded, xs_ref, us, zeros_k, zeros_K, merit_inf, (0.0,), interpret
+        plain, xs_ref, us, zeros_k, zeros_K, merit_inf, (0.0,), interpret
     )
     return xs_new, costs

@@ -550,14 +550,25 @@ def solve_ilqr_batched(
             # order preserved; unconstrained merit == objective).
             alpha_tuple = _alpha_ladder_floats(config.alpha_min)
             xs_sel, us_sel, merit_new, accepted = forward_select_pallas(
-                specs, xs, us, k, K, merit, alpha_tuple, interpret
+                specs, xs, us, k, K, merit, alpha_tuple, interpret,
+                eq_mult=eq_mult if specs.eq_dim > 0 else None,
+                ineq_mult=ineq_mult if specs.ineq_dim > 0 else None,
+                rho=rho if (specs.eq_dim > 0 or specs.ineq_dim > 0) else None,
+                act_tol=config.inequality_activation_tolerance,
             )
             merit_new = merit_new.astype(dtype)
             # Rejected lanes keep their previous trajectory bit-exactly.
             xs_new = jnp.where(accepted[:, None, None], xs_sel.astype(dtype), xs)
             us_new = jnp.where(accepted[:, None, None], us_sel.astype(dtype), us)
             merit_new = jnp.where(accepted, merit_new, merit)
-            cost_new = merit_new
+            if specs.eq_dim > 0 or specs.ineq_dim > 0:
+                # Merit carries AL terms; report the true objective separately
+                # (reference: cost recomputed after acceptance, ilqr.hpp:233).
+                cost_new = jax.vmap(lambda s, x, u: s.cost(x, u))(
+                    specs, xs_new, us_new
+                )
+            else:
+                cost_new = merit_new
         else:
             xs_new, us_new, merit_new = jax.vmap(
                 lambda s, x, u, kk, KK, em, im, r, me: _forward_pass(

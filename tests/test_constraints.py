@@ -91,6 +91,47 @@ class TestILQRConstraints:
         assert float(result.cost) > 0
 
 
+class TestBatchedConstrained:
+    def test_batched_al_kernel_matches_vmap(self):
+        """The fused forward kernel's in-kernel AL merit terms must agree
+        with the per-problem XLA path."""
+        import jax
+
+        from multi_agent_solver_tpu.solvers.ilqr import (
+            ILQRConfig, solve_ilqr, solve_ilqr_batched,
+        )
+
+        spec = _speed_limited_ocp().spec()
+        # Force f32 leaves so both paths use identical arithmetic (the fused
+        # kernels are f32; f64 runs legitimately land in different accepts on
+        # this constraint-sensitive problem).
+        spec = jax.tree_util.tree_map(lambda l: l.astype(jnp.float32), spec)
+        config = ILQRConfig(max_iterations=40, tolerance=1e-7,
+                            constraint_tolerance=1e-3)
+        ys = jnp.array([0.5, 1.0, 1.5], jnp.float32)
+        specs = jax.vmap(
+            lambda y: spec.replace(initial_state=spec.initial_state.at[1].set(y))
+        )(ys)
+
+        # Per-iteration agreement of the fused-kernel path against the XLA
+        # forward path (identical f32 arithmetic): the AL merit terms agree
+        # to float rounding.  (Long runs on this problem amplify f32
+        # summation-order noise chaotically, so compare early iterations.)
+        short = ILQRConfig(max_iterations=8, tolerance=1e-9,
+                           constraint_tolerance=1e-9)
+        with_kernel = jax.jit(lambda s: solve_ilqr_batched(s, short))(specs)
+        xla_path = jax.jit(
+            lambda s: solve_ilqr_batched(s, short, backward="scan")
+        )(specs)
+        np.testing.assert_allclose(
+            np.array(with_kernel.merit), np.array(xla_path.merit), rtol=1e-5
+        )
+        # And the full constrained solve still enforces the cap on the fast path.
+        full = jax.jit(lambda s: solve_ilqr_batched(s, config))(specs)
+        V = np.array(full.states)[:, :, 3]
+        assert V.max() <= 0.6 + 0.05, f"vmax violated in batched path: {V.max()}"
+
+
 class TestCGDConstraints:
     def test_inequality_speed_cap_enforced(self):
         ocp = _speed_limited_ocp()
