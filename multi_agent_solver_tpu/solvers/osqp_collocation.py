@@ -52,6 +52,12 @@ class OSQPCollocationConfig:
     qp_max_iterations: int = 4000        # osqpmax_iter default
     qp_eps_abs: float = 1e-4             # osqpabs_tol default
     qp_eps_rel: float = 1e-4             # osqprel_tol default
+    # Optional trust-region cap on ||delta|| per SQP step (param step_limit).
+    # The reference applies FULL steps with no safeguard
+    # (osqp_collocation.hpp:488-494), which diverges on problems with
+    # near-singular dynamics (e.g. the rocket's thrust/max(m, eps) as m -> 0);
+    # 0 disables (reference parity).
+    step_limit: float = 0.0
     debug: bool = False
 
     @classmethod
@@ -62,6 +68,7 @@ class OSQPCollocationConfig:
             qp_max_iterations=int(get_param(params, "osqpmax_iter", 4000)),
             qp_eps_abs=get_param(params, "osqpabs_tol", 1e-4),
             qp_eps_rel=get_param(params, "osqprel_tol", 1e-4),
+            step_limit=get_param(params, "step_limit", 0.0),
             debug=param_flag(params, "debug"),
         )
 
@@ -210,6 +217,10 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
         qp = solve_box_qp(P_diag, q, A_mat, lb, ub, qp_config, x0=x_warm, y0=y_warm)
 
         delta = qp.x
+        if config.step_limit > 0.0:
+            norm = jnp.sqrt(jnp.sum(delta**2))
+            scale = jnp.minimum(1.0, config.step_limit / jnp.maximum(norm, 1e-30))
+            delta = delta * scale
         dx = delta[: T * nx].reshape(T, nx)
         du = delta[T * nx:].reshape(T, nu)
 

@@ -135,6 +135,24 @@ class TestCollocationSQP:
             defects.append(np.abs(d).max())
         assert max(defects) < 1e-3
 
+    def test_step_limit_keeps_singular_problem_finite(self):
+        """The rocket's thrust/max(m, eps) dynamics are singular as m -> 0;
+        the reference's unguarded full steps diverge to NaN there.  The
+        opt-in step_limit trust region keeps iterates finite (the model
+        pathology itself is preserved -- see docs/PARITY.md)."""
+        from multi_agent_solver_tpu.examples.rocket_max_altitude import (
+            create_max_altitude_rocket_ocp,
+        )
+
+        ocp = create_max_altitude_rocket_ocp()
+        result = make_solver(
+            "osqp_collocation",
+            {"max_iterations": 30, "tolerance": 1e-6, "max_ms": 1e9,
+             "step_limit": 1.0},
+        ).solve(ocp)
+        assert np.isfinite(np.array(result.states)).all()
+        assert np.isfinite(float(result.cost))
+
     def test_pendulum_swing_up_succeeds(self):
         """The reference's recommended solver for the nonconvex swing-up
         (README.md:26): final angle must be upright mod 2*pi."""
