@@ -80,6 +80,46 @@ def mesh_batch_solve(
     return jax.jit(jax.vmap(solve_fn))(specs)
 
 
+def mesh_batch_solve_fast(
+    batched_solve_fn: Callable[[OCPSpec], SolveResult],
+    specs: OCPSpec,
+    mesh: Mesh,
+) -> SolveResult:
+    """Shard the FUSED batched solver over the ``data`` mesh axis.
+
+    The Pallas kernels inside ``solve_ilqr_batched`` are single-device
+    programs, so each shard runs them on its local slice via ``shard_map``
+    (batch lanes are independent; no collectives needed).  The batch size
+    must divide by the data-axis size.
+
+    Example::
+
+        result = mesh_batch_solve_fast(
+            lambda s: solve_ilqr_batched(s, config), specs, mesh)
+    """
+    try:
+        from jax import shard_map  # jax >= 0.5 canonical location
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    n_data = mesh.shape[DATA_AXIS]
+    B = specs.initial_state.shape[0]
+    if B % n_data != 0:
+        raise ValueError(f"batch {B} must divide data axis {n_data}")
+
+    specs = shard_specs(specs, mesh, batch_axes=1)
+    # Every leaf shards on its leading (batch) axis; outputs likewise.
+    fn = shard_map(
+        batched_solve_fn,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS),),
+        out_specs=P(DATA_AXIS),
+        # pallas_call out_shapes carry no varying-mesh-axis metadata.
+        check_vma=False,
+    )
+    return jax.jit(fn)(specs)
+
+
 def mesh_multi_agent_solve(
     solve_fn: Callable[[OCPSpec], SolveResult],
     specs: OCPSpec,

@@ -64,6 +64,22 @@ class TestMesh:
             np.array(sharded.cost), np.array(plain.cost), rtol=1e-6
         )
 
+    def test_mesh_fast_path_shards_pallas_kernels(self):
+        """shard_map of the fused batched solver: each device runs the
+        Pallas kernels on its local batch slice."""
+        from multi_agent_solver_tpu.parallel.mesh import mesh_batch_solve_fast
+        from multi_agent_solver_tpu.solvers.ilqr import solve_ilqr_batched
+
+        spec, specs = _batched_specs(8)
+        mesh = make_mesh(n_data=8, n_agent=1)
+        sharded = mesh_batch_solve_fast(
+            lambda s: solve_ilqr_batched(s, CONFIG), specs, mesh
+        )
+        plain = jax.jit(lambda s: solve_ilqr_batched(s, CONFIG))(specs)
+        np.testing.assert_allclose(
+            np.array(sharded.cost), np.array(plain.cost), rtol=1e-5
+        )
+
     def test_mesh_multi_agent_grid(self):
         spec = single_track_lane_ocp().spec()
         B, N = 4, 2
