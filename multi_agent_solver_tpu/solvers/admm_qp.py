@@ -27,7 +27,8 @@ for quadratic programs") natively in JAX:
   number of vectorized passes over the diagonal cost and dense A; convergence
   is checked on **unscaled** residuals, as OSQP does.
 
-Not implemented from OSQP: solution polish (active-set refinement).
+Polish is implemented as a reweighted-active-set refinement (static shapes);
+see ADMMConfig.polish.
 """
 
 from __future__ import annotations
@@ -59,6 +60,15 @@ class ADMMConfig:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     scaling_iters: int = 10         # setScaling(10): Ruiz equilibration passes
+    # setPolish(true): after convergence, re-solve with the detected active
+    # set treated as (near-)equalities.  OSQP solves the reduced KKT of
+    # exactly the active rows; with static shapes we realize the same effect
+    # by reweighting rho: polish_rho on active rows, polish_rho_inactive on
+    # the rest, then a short ADMM refinement from the current iterate.
+    polish: bool = True
+    polish_rho: float = 1e6
+    polish_rho_inactive: float = 1e-6
+    polish_iters: int = 30
 
 
 class QPSolution(NamedTuple):
@@ -225,6 +235,43 @@ def solve_box_qp(
     (x, y, z, _, total_iters, converged), _ = jax.lax.scan(
         stage, init, None, length=config.adaptive_rho_stages
     )
+
+    if config.polish:
+        # Active-set detection on the scaled iterate (OSQP section 5.2):
+        # rows whose slack sits at a bound with the matching dual sign.
+        tol = 1e-6
+        at_lb = (z - lb <= tol) & (y < 0.0)
+        at_ub = (ub - z <= tol) & (y > 0.0)
+        active = at_lb | at_ub | is_eq
+        rho_vec = jnp.where(
+            active,
+            jnp.asarray(config.polish_rho, dtype),
+            jnp.asarray(config.polish_rho_inactive, dtype),
+        )
+        K = jnp.diag(P_diag + sigma) + (A.T * rho_vec) @ A
+        chol = jnp.linalg.cholesky(K)
+
+        def polish_iter(_, carry):
+            x, y, z = carry
+            rhs = sigma * x - q + A.T @ (rho_vec * z - y)
+            x_t = jax.scipy.linalg.cho_solve((chol, True), rhs)
+            z_t = A @ x_t
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_rel = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_rel + y / rho_vec, lb, ub)
+            y_n = y + rho_vec * (z_rel - z_n)
+            return x_n, y_n, z_n
+
+        x_p, y_p, z_p = jax.lax.fori_loop(
+            0, config.polish_iters, polish_iter, (x, y, z)
+        )
+        # Keep the polished iterate only if it tightened the residuals.
+        rp0, rd0, _, _ = _residuals(P_diag, q, A, x, y, z, D, E, c)
+        rp1, rd1, _, _ = _residuals(P_diag, q, A, x_p, y_p, z_p, D, E, c)
+        better = jnp.maximum(rp1, rd1) < jnp.maximum(rp0, rd0)
+        x = jnp.where(better, x_p, x)
+        y = jnp.where(better, y_p, y)
+        z = jnp.where(better, z_p, z)
 
     r_prim, r_dual, _, _ = _residuals(P_diag, q, A, x, y, z, D, E, c)
     return QPSolution(

@@ -79,6 +79,24 @@ class TestADMM:
                 np.array(batched.x[i]), np.array(single.x), atol=1e-6
             )
 
+    def test_polish_recovers_accuracy_from_loose_solve(self):
+        """OSQP-style polish: a 1e-3-tolerance solve polishes to ~1e-9
+        solution error via the reweighted-active-set refinement."""
+        import dataclasses
+
+        P, q, A, lb, ub = _random_qp(6, eq_rows=1)
+        ref = _scipy_solution(P, q, A, lb, ub)
+        loose = ADMMConfig(max_iterations=200, eps_abs=1e-3, eps_rel=1e-3,
+                           polish=False)
+        unpolished = solve_box_qp(P, q, A, lb, ub, loose)
+        polished = solve_box_qp(
+            P, q, A, lb, ub, dataclasses.replace(loose, polish=True)
+        )
+        err_un = np.abs(np.array(unpolished.x) - ref.x).max()
+        err_po = np.abs(np.array(polished.x) - ref.x).max()
+        assert err_po < 1e-6
+        assert err_po < err_un / 10
+
     def test_warm_start_reduces_iterations(self):
         P, q, A, lb, ub = _random_qp(5)
         cold = solve_box_qp(P, q, A, lb, ub, TIGHT)
