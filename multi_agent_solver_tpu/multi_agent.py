@@ -60,6 +60,15 @@ class MultiAgentProblem:
         # play a real best-response game against the others' current plans.
         # Requires homogeneous agents.
         self.inter_agent_cost = None
+        # Optional sparsification for large games: couple each agent only to
+        # its K nearest neighbours (Euclidean distance over
+        # ``coupling_distance_dims`` of the state) instead of all N-1 others.
+        # Contexts shrink from O(N) to O(K) per agent, keeping the fused
+        # kernel path viable for thousands of agents; exact for
+        # finite-range/decaying couplings like collision costs.
+        # None = all-pairs.
+        self.coupling_neighbors = None
+        self.coupling_distance_dims = (0, 1)
 
     def add_agent(self, agent: Agent) -> None:
         self.agents.append(agent)

@@ -80,24 +80,44 @@ class _NashBase:
             self._ctx_for = None
             return specs
 
-        others = np.stack(
-            [[j for j in range(n) if j != i] for i in range(n)]
-        )  # [N, N-1]
-        others_idx = jnp.asarray(others)
+        k_neighbors = problem.coupling_neighbors
+        if k_neighbors is not None and k_neighbors >= n - 1:
+            k_neighbors = None   # all-pairs is cheaper than a KNN of everyone
 
-        def ctx_for(states):  # [N, T+1, nx] -> [N, T, N-1, nx]
-            ctx = states[others_idx]              # [N, N-1, T+1, nx]
-            return jnp.swapaxes(ctx[:, :, :-1, :], 1, 2)
+        if k_neighbors is None:
+            others = np.stack(
+                [[j for j in range(n) if j != i] for i in range(n)]
+            )  # [N, N-1]
+            others_idx = jnp.asarray(others)
+
+            def ctx_for(states):  # [N, T+1, nx] -> [N, T, N-1, nx]
+                ctx = states[others_idx]              # [N, N-1, T+1, nx]
+                return jnp.swapaxes(ctx[:, :, :-1, :], 1, 2)
+        else:
+            K = int(k_neighbors)
+            dims = jnp.asarray(problem.coupling_distance_dims)
+            T = specs.horizon_steps
+
+            def ctx_for(states):  # [N, T+1, nx] -> [N, T, K, nx]
+                st = states[:, :T, :]                         # [N, T, nx]
+                pos = st[:, :, dims]                          # [N, T, d]
+                diff = pos[:, None] - pos[None, :]            # [N, N, T, d]
+                d2 = jnp.sum(diff**2, axis=-1)                # [N, N, T]
+                d2 = d2 + 1e30 * jnp.eye(st.shape[0])[:, :, None]  # no self
+                # K nearest others per (agent, t).
+                _, idx = jax.lax.top_k(-jnp.moveaxis(d2, 2, 1), K)  # [N, T, K]
+                ts = jnp.arange(T)[None, :, None]
+                return st[idx, ts]                            # [N, T, K, nx]
 
         self._ctx_for = ctx_for
 
         base_stage = specs.stage_cost
 
-        def coupled_stage(x, u, t, ctx):          # ctx [N-1, nx]
-            # vmap over the others keeps the trace size O(1) in agent count
-            # (an unrolled pair loop makes compilation O(N) and intractable
-            # past a few dozen agents); works on both per-problem vectors and
-            # lane-shaped kernel values.
+        def coupled_stage(x, u, t, ctx):          # ctx [K_or_N-1, nx]
+            # vmap over the neighbours keeps the trace size O(1) in agent
+            # count (an unrolled pair loop makes compilation O(N) and
+            # intractable past a few dozen agents); works on both per-problem
+            # vectors and lane-shaped kernel values.
             pair_costs = jax.vmap(lambda cj: inter(x, cj, t))(ctx)
             return base_stage(x, u, t) + jnp.sum(pair_costs, axis=0)
 
@@ -147,7 +167,11 @@ class _NashBase:
         if agents_are_homogeneous(problem):
             specs = stack_agent_specs(problem)
             specs = self._prepare(problem, specs)
-            key = (specs.initial_state.shape[0], self._coupled)
+            key = (
+                specs.initial_state.shape[0],
+                self._coupled,
+                problem.coupling_neighbors,
+            )
             if self._jitted is None or self._jitted_key != key:
                 self._jitted = jax.jit(self._run_stacked)
                 self._jitted_key = key

@@ -87,6 +87,37 @@ class TestCoupledNash:
         sol = solve_multi_agent(strategy, problem)
         assert _min_distance(sol) > 1.2, f"min distance {_min_distance(sol)}"
 
+    def test_knn_coupling_matches_all_pairs_for_two_agents(self):
+        """coupling_neighbors=1 on a 2-agent game IS all-pairs coupling."""
+        p_all = _head_on_problem(coupled=True)
+        s1 = make_strategy("sequential", make_solver("ilqr"), PARAMS, 4)
+        sol_all = solve_multi_agent(s1, p_all)
+
+        p_knn = _head_on_problem(coupled=True)
+        p_knn.coupling_neighbors = 1
+        s2 = make_strategy("sequential", make_solver("ilqr"), PARAMS, 4)
+        sol_knn = solve_multi_agent(s2, p_knn)
+        np.testing.assert_allclose(sol_knn.total_cost, sol_all.total_cost,
+                                   rtol=1e-9)
+
+    def test_knn_coupling_scales_to_many_agents(self):
+        """K-nearest contexts keep large coupled games on the fused path
+        (all-pairs contexts would trip the VMEM gate and, at O(N) per agent,
+        O(N^2) memory overall)."""
+        from multi_agent_solver_tpu.examples.multi_agent_single_track import (
+            build_problem,
+        )
+
+        problem = build_problem(64, coupling=25.0)
+        problem.coupling_neighbors = 4
+        strategy = make_strategy(
+            "sequential", make_solver("ilqr"),
+            {"max_iterations": 10, "tolerance": 1e-5, "max_ms": 1e9}, 2,
+        )
+        sol = solve_multi_agent(strategy, problem)
+        assert np.isfinite(sol.total_cost)
+        assert len(sol.states) == 64
+
     def test_coupled_costs_reported_against_final_plans(self):
         problem = _head_on_problem(coupled=True)
         strategy = make_strategy("sequential", make_solver("ilqr"), PARAMS, 5)
