@@ -28,7 +28,7 @@ from typing import List, Optional
 import jax.numpy as jnp
 
 from .agent import Agent
-from .ocp import OCP
+from .ocp import OCP, cost_of
 
 
 @dataclasses.dataclass
@@ -196,5 +196,5 @@ class MultiAgentProblem:
             agent_ocp = b.agent.ocp
             states = X[:, xs:xe]
             controls = U[:, us:ue]
-            cost = agent_ocp.spec().cost(states, controls)
+            cost = cost_of(agent_ocp.spec(), states, controls)
             agent_ocp.set_result(states, controls, cost)

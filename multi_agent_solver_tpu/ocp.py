@@ -130,6 +130,40 @@ class OCPSpec:
         return self.state_lower_bounds is not None or self.state_upper_bounds is not None
 
 
+@jax.jit
+def _spec_rollout_and_cost(spec: "OCPSpec"):
+    """Initial rollout + cost as ONE compiled program.
+
+    ``initialize_problem``/``reset`` used to evaluate these eagerly; on a
+    remote TPU every eager primitive is a separate device round-trip
+    (~40 ms each, plus a first-touch compile), which turned problem setup
+    into minutes.  Jitting the whole computation makes setup one compile
+    (cached on the spec's static functions, so homogeneous agents share it)
+    plus one execution.
+    """
+    xs = spec.rollout(spec.initial_controls)
+    return xs, spec.cost(xs, spec.initial_controls)
+
+
+@jax.jit
+def rollout_and_cost(spec: "OCPSpec", controls: Array):
+    """Jitted rollout + objective of arbitrary controls (host-loop helper).
+
+    Host-side code (heterogeneous-agent fallbacks, MPC shims, examples) must
+    never evaluate ``spec.rollout``/``spec.cost`` eagerly: on a remote TPU
+    each eager primitive is a ~40 ms round-trip.  This single compiled entry
+    point is cached per spec statics.
+    """
+    xs = spec.rollout(controls)
+    return xs, spec.cost(xs, controls)
+
+
+@jax.jit
+def cost_of(spec: "OCPSpec", states: Array, controls: Array):
+    """Jitted objective evaluation (see :func:`rollout_and_cost`)."""
+    return spec.cost(states, controls)
+
+
 def _zero_stage_cost(x, u, t):
     """Default stage cost (reference: ocp.hpp:45)."""
     return jnp.asarray(0.0)
@@ -260,12 +294,10 @@ class OCP:
         """Zero the controls and re-roll the trajectory (ocp.hpp:83-93)."""
         dtype = jnp.asarray(self.initial_state).dtype
         self.initial_controls = jnp.zeros((self.horizon_steps, self.control_dim), dtype)
-        self.initial_states = integrate_horizon(
-            jnp.asarray(self.initial_state), self.initial_controls, self.dt, self.dynamics
-        )
+        self.initial_states, cost = _spec_rollout_and_cost(self.spec())
         self.best_states = self.initial_states
         self.best_controls = self.initial_controls
-        self.best_cost = float(self.spec().cost(self.initial_states, self.initial_controls))
+        self.best_cost = float(cost)
 
     def update_initial_with_best(self) -> None:
         """Warm start from the current best trajectory (ocp.hpp:95-100).
@@ -304,10 +336,10 @@ class OCP:
         self._spec = None
         spec = self.spec()
 
-        self.initial_states = spec.rollout(self.initial_controls)
+        self.initial_states, cost = _spec_rollout_and_cost(spec)
         self.best_states = self.initial_states
         self.best_controls = self.initial_controls
-        self.best_cost = float(spec.cost(self.initial_states, self.initial_controls))
+        self.best_cost = float(cost)
 
     def verify_problem(self) -> bool:
         """Consistency checks (reference: ocp.hpp:186-236, assert-based)."""

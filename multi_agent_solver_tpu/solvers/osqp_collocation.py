@@ -159,9 +159,12 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
             _convexify(Q_term, config.reg),
             _convexify(R_all, config.reg).reshape(-1),
         ])
-        # The reference writes `reg` into the extra all-variable diagonal
-        # pattern entries (osqp_collocation.hpp:338-339): add it uniformly.
-        P_diag = P_diag + config.reg
+        # NOTE: the reference's trailing `h_val[...] = reg` loop
+        # (osqp_collocation.hpp:339-340) is dead code -- the duplicate
+        # diagonal triplets in the phase-1 pattern merge in
+        # setFromTriplets, so kH has already covered every stored nnz by
+        # then.  The Hessian diagonal is exactly the convexified Q/R
+        # values; do NOT add reg here.
 
         # Dynamics values/Jacobians at all T+1 knots (continuous-time).
         u_knot_idx = jnp.minimum(jnp.arange(T + 1), T - 1)

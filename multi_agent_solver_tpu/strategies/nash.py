@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from ..multi_agent import MultiAgentProblem
-from ..ocp import OCPSpec, with_context_cost
+from ..ocp import OCPSpec, rollout_and_cost, with_context_cost
 from ..solution import Solution
 from ..solvers.base import SolverBase, make_solver_like
 from ..types import SolverParams
@@ -297,8 +297,8 @@ class LineSearchNashStrategy(_NashBase):
                 for (old_u, _, _), cand_u, block in zip(old, cand, blocks):
                     spec = block.agent.ocp.spec()
                     u = old_u + alpha * (cand_u - old_u)
-                    xs = spec.rollout(u)
-                    c = float(spec.cost(xs, u))
+                    xs, c = rollout_and_cost(spec, u)
+                    c = float(c)
                     trials.append((u, xs, c))
                     total += c
                 if total < base_cost:
@@ -370,8 +370,8 @@ class TrustRegionNashStrategy(_NashBase):
                 if norm > radii[i]:
                     spec = ocp.spec()
                     cand_u = old_u + (radii[i] / norm) * delta
-                    cand_x = spec.rollout(cand_u)
-                    cand_c = float(spec.cost(cand_x, cand_u))
+                    cand_x, cand_c = rollout_and_cost(spec, cand_u)
+                    cand_c = float(cand_c)
                 if cand_c < old_c:
                     ocp.set_result(cand_x, cand_u, cand_c)
                     radii[i] *= 1.5

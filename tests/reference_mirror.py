@@ -193,3 +193,288 @@ def ilqr_solve(
             break
 
     return X, U, cost, history
+
+
+# ---------------------------------------------------------------------------
+# QP family (osqp.hpp / osqp_collocation.hpp)
+# ---------------------------------------------------------------------------
+
+QP_INFTY = 1e30
+
+
+def solve_qp_oracle(P_diag, q, A, lb, ub, tol=1e-9, max_iter=200000):
+    """Exact solution of  min 1/2 z'diag(P)z + q'z  s.t.  lb <= Az <= ub.
+
+    The reference runs OSQP with polish enabled (osqp.hpp:49-54,
+    osqp_collocation.hpp:106-113), i.e. ADMM followed by an active-set KKT
+    refinement that lands on the exact optimum.  This oracle mirrors that:
+    ADMM (sigma/alpha/rho and the eq-row rho scaling are OSQP's defaults)
+    in chunks, each followed by a polish attempt whose result is accepted
+    only when it passes an exact KKT check.  Strict convexity (the
+    reference floors every Hessian diagonal) makes the optimum unique, so
+    the oracle value is THE reference answer up to float64 roundoff.
+    """
+    n = q.shape[0]
+    m = lb.shape[0]
+    sigma, alpha, rho_bar = 1e-6, 1.6, 0.1
+    is_eq = np.abs(ub - lb) < 1e-12
+    rho = np.where(is_eq, rho_bar * 1e3, rho_bar)
+
+    def kkt_ok(x, y):
+        Ax = A @ x
+        if np.any(Ax < lb - 1e-7) or np.any(Ax > ub + 1e-7):
+            return False
+        if np.max(np.abs(P_diag * x + q + A.T @ y)) > 1e-7 * max(
+            1.0, np.max(np.abs(q))
+        ):
+            return False
+        comp_ub = (y > 1e-9) & ~is_eq
+        comp_lb = (y < -1e-9) & ~is_eq
+        if np.any(np.abs(Ax[comp_ub] - ub[comp_ub]) > 1e-6):
+            return False
+        if np.any(np.abs(Ax[comp_lb] - lb[comp_lb]) > 1e-6):
+            return False
+        return True
+
+    def polish(x, y, z):
+        at_lb = (z - lb <= 1e-7) & (y < 0.0)
+        at_ub = (ub - z <= 1e-7) & (y > 0.0)
+        active = at_lb | at_ub | is_eq
+        if not np.any(active):
+            x_p = -q / P_diag
+            return (x_p, np.zeros(m)) if kkt_ok(x_p, np.zeros(m)) else None
+        Aa = A[active]
+        ba = np.where(at_ub[active], ub[active], lb[active])
+        ba = np.where(is_eq[active], lb[active], ba)
+        ka = Aa.shape[0]
+        delta = 1e-8
+        K = np.block([
+            [np.diag(P_diag + delta), Aa.T],
+            [Aa, -delta * np.eye(ka)],
+        ])
+        rhs = np.concatenate([-q, ba])
+        try:
+            sol = np.linalg.solve(K, rhs)
+            for _ in range(3):  # iterative refinement (OSQP polish style)
+                r = rhs - K @ sol
+                r[:n] += delta * sol[:n]          # un-regularized residual
+                r[n:] -= delta * sol[n:]
+                sol = sol + np.linalg.solve(K, r)
+        except np.linalg.LinAlgError:
+            return None
+        x_p = sol[:n]
+        y_p = np.zeros(m)
+        y_p[active] = sol[n:]
+        return (x_p, y_p) if kkt_ok(x_p, y_p) else None
+
+    M = np.diag(P_diag + sigma) + (A.T * rho) @ A
+    L = np.linalg.cholesky(M)
+
+    def chol_solve(b):
+        return np.linalg.solve(L.T, np.linalg.solve(L, b))
+
+    x = np.zeros(n)
+    y = np.zeros(m)
+    z = np.clip(A @ x, lb, ub)
+    chunk = 2000
+    for _ in range(max_iter // chunk):
+        for _ in range(chunk):
+            rhs = sigma * x - q + A.T @ (rho * z - y)
+            x_t = chol_solve(rhs)
+            z_t = A @ x_t
+            x = alpha * x_t + (1.0 - alpha) * x
+            z_rel = alpha * z_t + (1.0 - alpha) * z
+            z_new = np.clip(z_rel + y / rho, lb, ub)
+            y = y + rho * (z_rel - z_new)
+            z = z_new
+        res = polish(x, y, z)
+        if res is not None:
+            return res
+    raise RuntimeError("QP oracle failed to converge")
+
+
+def osqp_shooting_solve(
+    f, fx, fu, stage, terminal,
+    lx, lu, lxx, luu, phix, phixx,
+    x0, U0, dt, max_iterations, tolerance,
+    state_lower=None, state_upper=None,
+    input_lower=None, input_upper=None,
+):
+    """Mirror of the reference shooting SQP (osqp.hpp:62-198).
+
+    Builds the reference's crude QP model exactly: diagonal-only Hessian
+    floored at max(diag + reg, 1e-6) (osqp.hpp:283-307, reg stays 0 because
+    the QP layer never fails here), dynamics rows x_{t+1} - A_t x_t - B_t u_t
+    with lb = ub = 0 using the CONTINUOUS-time Jacobians and no affine
+    defect (osqp.hpp:344-361), identity bound rows on every state/control
+    (osqp.hpp:363-407; note x_0 is NOT pinned to the initial state).  Outer
+    loop per osqp.hpp:122-198.  Returns (X, U, cost, n_iters).
+    """
+    T = U0.shape[0]
+    nx = x0.shape[0]
+    nu = U0.shape[1]
+    Ns, n = T + 1, (T + 1) * nx + T * nu
+    n_dyn = T * nx
+
+    objective = lambda X, U: trajectory_cost(stage, terminal, X, U)
+
+    U = U0.copy()
+    X = rollout(f, x0, U, dt)
+    cost = objective(X, U)
+
+    def bounds_rows():
+        lbs, ubs = [], []
+        for t in range(Ns):
+            lbs.append(state_lower if state_lower is not None else -QP_INFTY * np.ones(nx))
+            ubs.append(state_upper if state_upper is not None else QP_INFTY * np.ones(nx))
+        for t in range(T):
+            lbs.append(input_lower if input_lower is not None else -QP_INFTY * np.ones(nu))
+            ubs.append(input_upper if input_upper is not None else QP_INFTY * np.ones(nu))
+        return np.concatenate(lbs), np.concatenate(ubs)
+
+    lb_bnd, ub_bnd = bounds_rows()
+    it_done = 0
+    for it in range(max_iterations):
+        it_done = it + 1
+        # assemble_hessian (osqp.hpp:272-311), reg = 0
+        P = np.empty(n)
+        for t in range(T):
+            P[t * nx:(t + 1) * nx] = np.maximum(
+                np.diag(lxx(X[t], U[min(t, T - 1)], t)), 1e-6
+            )
+        P[T * nx:Ns * nx] = np.maximum(np.diag(phixx(X[T])), 1e-6)
+        for t in range(T):
+            P[Ns * nx + t * nu:Ns * nx + (t + 1) * nu] = np.maximum(
+                np.diag(luu(X[t], U[t], t)), 1e-6
+            )
+        # assemble_gradient (osqp.hpp:314-330)
+        g = np.zeros(n)
+        for t in range(T):
+            g[t * nx:(t + 1) * nx] = lx(X[t], U[t], t)
+        g[T * nx:Ns * nx] = phix(X[T])
+        for t in range(T):
+            g[Ns * nx + t * nu:Ns * nx + (t + 1) * nu] = lu(X[t], U[t], t)
+        # assemble_constraints (osqp.hpp:333-376)
+        A_mat = np.zeros((n_dyn + Ns * nx + T * nu, n))
+        for t in range(T):
+            r0 = t * nx
+            A_mat[r0:r0 + nx, (t + 1) * nx:(t + 2) * nx] = np.eye(nx)
+            A_mat[r0:r0 + nx, t * nx:(t + 1) * nx] -= fx(X[t], U[t])
+            A_mat[r0:r0 + nx, Ns * nx + t * nu:Ns * nx + (t + 1) * nu] -= fu(X[t], U[t])
+        A_mat[n_dyn:n_dyn + Ns * nx + T * nu, :Ns * nx + T * nu] += np.eye(Ns * nx + T * nu)
+        lbv = np.concatenate([np.zeros(n_dyn), lb_bnd])
+        ubv = np.concatenate([np.zeros(n_dyn), ub_bnd])
+
+        z_opt, _ = solve_qp_oracle(P, g, A_mat, lbv, ubv)
+        u_cand = z_opt[Ns * nx:].reshape(T, nu)
+        d_u = U - u_cand                              # osqp.hpp:168
+        alpha = armijo(f, x0, U, d_u, objective, dt)  # osqp.hpp:170
+        U_new = U - alpha * d_u
+        X_new = rollout(f, x0, U_new, dt)
+        cost_new = objective(X_new, U_new)
+
+        if abs(cost - cost_new) < tolerance:          # osqp.hpp:177-185
+            U, X, cost = U_new, X_new, cost_new
+            break
+        if cost_new < cost:                           # osqp.hpp:186-191
+            U, X, cost = U_new, X_new, cost_new
+        else:                                         # osqp.hpp:192-197
+            break
+    return X, U, cost, it_done
+
+
+def osqp_collocation_solve(
+    f, fx, fu, stage, terminal,
+    lx, lu, lxx, luu, phix, phixx,
+    x0, U0, dt, max_iterations, tolerance, reg=1e-6,
+    state_lower=None, state_upper=None,
+    input_lower=None, input_upper=None,
+):
+    """Mirror of the reference trapezoidal collocation SQP
+    (osqp_collocation.hpp:244-510).
+
+    Delta-form decision vector [dx_1..dx_T, du_0..du_{T-1}]; diagonal
+    Hessians with the convexification shift |min diag| + reg when
+    min(diag) + reg < 0 (osqp_collocation.hpp:274-283); trapezoidal defect
+    equality rows (osqp_collocation.hpp:358-389); delta-form bound rows
+    (osqp_collocation.hpp:398-421); full steps, stop on ||delta|| <
+    tolerance (osqp_collocation.hpp:470-501).  Returns (X, U, cost, iters).
+    """
+    T = U0.shape[0]
+    nx = x0.shape[0]
+    nu = U0.shape[1]
+    n = T * nx + T * nu
+    n_dyn = T * nx
+
+    def convexify(Qd):
+        mn = Qd.min()
+        if mn + reg < 0.0:
+            return Qd + (abs(mn) + reg)
+        return Qd
+
+    U = U0.copy()
+    X = rollout(f, x0, U, dt)
+    X[0] = x0
+
+    it_done = 0
+    for it in range(max_iterations):
+        it_done = it + 1
+        # gradient (osqp_collocation.hpp:246-254)
+        g = np.zeros(n)
+        for t in range(1, T):
+            g[(t - 1) * nx:t * nx] = lx(X[t], U[min(t, T - 1)], t)
+        g[(T - 1) * nx:T * nx] = phix(X[T])
+        for t in range(T):
+            g[T * nx + t * nu:T * nx + (t + 1) * nu] = lu(X[t], U[t], t)
+        # diagonal Hessian (osqp_collocation.hpp:256-340)
+        P = np.empty(n)
+        for t in range(1, T):
+            P[(t - 1) * nx:t * nx] = convexify(
+                np.diag(lxx(X[t], U[min(t, T - 1)], t))
+            )
+        P[(T - 1) * nx:T * nx] = convexify(np.diag(phixx(X[T])))
+        for t in range(T):
+            P[T * nx + t * nu:T * nx + (t + 1) * nu] = convexify(
+                np.diag(luu(X[t], U[t], t))
+            )
+        # dynamics knots (osqp_collocation.hpp:342-356)
+        Fx = [fx(X[t], U[min(t, T - 1)]) for t in range(T + 1)]
+        Fu = [fu(X[t], U[min(t, T - 1)]) for t in range(T + 1)]
+        fv = [f(X[t], U[min(t, T - 1)]) for t in range(T + 1)]
+        # trapezoidal rows (osqp_collocation.hpp:358-389)
+        A_mat = np.zeros((n_dyn + T * nx + T * nu, n))
+        lbv = np.zeros(n_dyn + T * nx + T * nu)
+        ubv = np.zeros_like(lbv)
+        for t in range(T):
+            r0 = t * nx
+            defect = X[t + 1] - X[t] - 0.5 * dt * (fv[t] + fv[t + 1])
+            lbv[r0:r0 + nx] = -defect
+            ubv[r0:r0 + nx] = -defect
+            A_mat[r0:r0 + nx, t * nx:(t + 1) * nx] = np.eye(nx) - 0.5 * dt * Fx[t + 1]
+            if t > 0:
+                A_mat[r0:r0 + nx, (t - 1) * nx:t * nx] = -np.eye(nx) - 0.5 * dt * Fx[t]
+            A_mat[r0:r0 + nx, T * nx + t * nu:T * nx + (t + 1) * nu] = -0.5 * dt * Fu[t]
+            if t + 1 < T:
+                A_mat[r0:r0 + nx, T * nx + (t + 1) * nu:T * nx + (t + 2) * nu] = (
+                    -0.5 * dt * Fu[t + 1]
+                )
+        # bound identity rows (osqp_collocation.hpp:398-421)
+        A_mat[n_dyn:, :] = np.eye(T * nx + T * nu)
+        for t in range(1, T + 1):
+            r = n_dyn + (t - 1) * nx
+            lbv[r:r + nx] = (state_lower - X[t]) if state_lower is not None else -QP_INFTY
+            ubv[r:r + nx] = (state_upper - X[t]) if state_upper is not None else QP_INFTY
+        for t in range(T):
+            r = n_dyn + T * nx + t * nu
+            lbv[r:r + nu] = (input_lower - U[t]) if input_lower is not None else -QP_INFTY
+            ubv[r:r + nu] = (input_upper - U[t]) if input_upper is not None else QP_INFTY
+
+        delta, _ = solve_qp_oracle(P, g, A_mat, lbv, ubv)
+        # apply full step (osqp_collocation.hpp:486-494)
+        for t in range(T):
+            X[t + 1] += delta[t * nx:(t + 1) * nx]
+            U[t] += delta[T * nx + t * nu:T * nx + (t + 1) * nu]
+        if np.linalg.norm(delta) < tolerance:
+            break
+    cost = trajectory_cost(stage, terminal, X, U)      # osqp_collocation.hpp:503
+    return X, U, cost, it_done
