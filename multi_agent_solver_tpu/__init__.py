@@ -19,7 +19,13 @@ import jax as _jax
 # example start-up drops from minutes to seconds.  Opt out with
 # MAS_TPU_NO_COMPILE_CACHE=1; an explicit user cache dir is respected.
 if not _os.environ.get("MAS_TPU_NO_COMPILE_CACHE"):
-    if _jax.config.jax_compilation_cache_dir is None:
+    # CPU-only sessions (tests, local dev) skip the cache: XLA:CPU AOT
+    # reloads are machine-feature-sensitive and CPU compiles are cheap.
+    if (
+        _jax.config.jax_compilation_cache_dir is None
+        and _jax.config.jax_platforms != "cpu"
+        and _os.environ.get("JAX_PLATFORMS") != "cpu"
+    ):
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.path.expanduser("~/.cache/multi_agent_solver_tpu/xla"),
