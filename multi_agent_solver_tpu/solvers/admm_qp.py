@@ -123,9 +123,9 @@ def _residuals(P_diag, q, A, x, y, z, D, E, c):
     Ax = (A @ x) / E              # E^{-1} A_s x_s = A x  (unscaled)
     zu = z / E
     r_prim = jnp.max(jnp.abs(Ax - zu))
-    Px = D * (P_diag * x) / c     # D^{-1} P_s x_s / c
-    Aty = D * (A.T @ y) / c
-    qu = D * q / c
+    Px = (P_diag * x) / D / c     # D^{-1} P_s x_s / c = P x  (unscaled)
+    Aty = (A.T @ y) / D / c
+    qu = q / D / c
     r_dual = jnp.max(jnp.abs(Px + qu + Aty))
     prim_scale = jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(zu)))
     dual_scale = jnp.maximum(

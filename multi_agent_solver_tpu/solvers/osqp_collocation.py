@@ -58,6 +58,10 @@ class OSQPCollocationConfig:
     # near-singular dynamics (e.g. the rocket's thrust/max(m, eps) as m -> 0);
     # 0 disables (reference parity).
     step_limit: float = 0.0
+    # 'structured' (default): block-tridiagonal KKT by cyclic reduction
+    # (solvers/traj_qp.py) -- O(T nb^3), scales to T in the thousands.
+    # 'dense': materialized constraint matrix + dense Cholesky.
+    backend: str = "structured"
     debug: bool = False
 
     @classmethod
@@ -69,6 +73,7 @@ class OSQPCollocationConfig:
             qp_eps_abs=get_param(params, "osqpabs_tol", 1e-4),
             qp_eps_rel=get_param(params, "osqprel_tol", 1e-4),
             step_limit=get_param(params, "step_limit", 0.0),
+            backend="dense" if param_flag(params, "dense_qp") else "structured",
             debug=param_flag(params, "debug"),
         )
 
@@ -118,9 +123,133 @@ def _convexify(diag: Array, reg: float) -> Array:
     return diag + shift
 
 
+def _solve_osqp_collocation_structured(
+    spec: OCPSpec, config: OSQPCollocationConfig
+) -> SolveResult:
+    """Structured-QP variant: stage blocks s_k = [dx_k, du_k] (k = 0..T;
+    dx_0 and du_T are pinned pads), trapezoidal row t coupling s_t and
+    s_{t+1} -- identical QP to the dense path, block-tridiagonal KKT."""
+    from .traj_qp import TrajQP, solve_traj_box_qp
+
+    T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
+    dtype = spec.initial_state.dtype
+    dt = spec.dt
+    d = spec.derivs
+    nb = nx + nu
+    N = T + 1
+    eye = jnp.eye(nx, dtype=dtype)
+
+    qp_config = ADMMConfig(
+        max_iterations=config.qp_max_iterations,
+        eps_abs=config.qp_eps_abs,
+        eps_rel=config.qp_eps_rel,
+    )
+
+    ts = jnp.arange(T)
+    ts_mid = jnp.arange(1, T)
+    u_mid_idx = jnp.minimum(ts_mid, T - 1)
+
+    def assemble(xs, us):
+        # Gradient / diagonal Hessian stage blocks (osqp_collocation.hpp:246-340).
+        g_x_mid = jax.vmap(lambda t, ui: d.lx(xs[t], us[ui], t))(ts_mid, u_mid_idx)
+        g_term = d.phix(xs[T])
+        g_u = jax.vmap(lambda t: d.lu(xs[t], us[t], t))(ts)
+        q_x = jnp.concatenate([jnp.zeros((1, nx), dtype), g_x_mid, g_term[None]], axis=0)
+        q_u = jnp.concatenate([g_u, jnp.zeros((1, nu), dtype)], axis=0)
+        q = jnp.concatenate([q_x, q_u], axis=1)
+
+        Q_mid = jax.vmap(lambda t, ui: jnp.diagonal(d.lxx(xs[t], us[ui], t)))(ts_mid, u_mid_idx)
+        Q_term = jnp.diagonal(d.phixx(xs[T]))
+        R_all = jax.vmap(lambda t: jnp.diagonal(d.luu(xs[t], us[t], t)))(ts)
+        P_x = jnp.concatenate(
+            [jnp.ones((1, nx), dtype), _convexify(Q_mid, config.reg),
+             _convexify(Q_term, config.reg)[None]],
+            axis=0,
+        )
+        P_u = jnp.concatenate(
+            [_convexify(R_all, config.reg), jnp.ones((1, nu), dtype)], axis=0
+        )
+        P_diag = jnp.concatenate([P_x, P_u], axis=1)
+
+        # Dynamics knots and trapezoidal rows (osqp_collocation.hpp:342-389).
+        u_knot_idx = jnp.minimum(jnp.arange(T + 1), T - 1)
+        u_knots = us[u_knot_idx]
+        f_all = jax.vmap(spec.dynamics)(xs, u_knots)
+        Fx_all = jax.vmap(d.fx)(xs, u_knots)
+        Fu_all = jax.vmap(d.fu)(xs, u_knots)
+        defect = xs[1:] - xs[:-1] - 0.5 * dt * (f_all[:-1] + f_all[1:])  # [T, nx]
+
+        C_x = -eye[None] - 0.5 * dt * Fx_all[:T]       # on dx_t
+        C_x = C_x.at[0].set(0.0)                       # dx_0 pad: no column
+        C_u = -0.5 * dt * Fu_all[:T]                   # on du_t
+        C = jnp.concatenate([C_x, C_u], axis=2)
+        Cp_x = eye[None] - 0.5 * dt * Fx_all[1:]       # on dx_{t+1}
+        Cp_u = -0.5 * dt * Fu_all[1:]                  # on du_{t+1}
+        Cp_u = Cp_u.at[T - 1].set(0.0)                 # du_T pad: no column
+        Cp = jnp.concatenate([Cp_x, Cp_u], axis=2)
+
+        def delta_bounds(bound, refs, default):
+            if bound is None:
+                return jnp.full(refs.shape, default, dtype)
+            return bound[None, :] - refs
+
+        zx_lb = jnp.concatenate(
+            [jnp.zeros((1, nx), dtype), delta_bounds(spec.state_lower_bounds, xs[1:], -INFTY)]
+        )
+        zx_ub = jnp.concatenate(
+            [jnp.zeros((1, nx), dtype), delta_bounds(spec.state_upper_bounds, xs[1:], INFTY)]
+        )
+        zu_lb = jnp.concatenate(
+            [delta_bounds(spec.input_lower_bounds, us, -INFTY), jnp.zeros((1, nu), dtype)]
+        )
+        zu_ub = jnp.concatenate(
+            [delta_bounds(spec.input_upper_bounds, us, INFTY), jnp.zeros((1, nu), dtype)]
+        )
+        z_lb = jnp.concatenate([zx_lb, zu_lb], axis=1)
+        z_ub = jnp.concatenate([zx_ub, zu_ub], axis=1)
+        return TrajQP(P_diag, q, C, Cp, -defect, -defect, z_lb, z_ub)
+
+    us0 = spec.initial_controls
+    xs0 = spec.rollout(us0)
+
+    def cond(state):
+        return (state[6] < config.max_iterations) & ~state[7]
+
+    def body(state):
+        xs, us, w_warm, yr_warm, yb_warm, _, it, _ = state
+        qp = solve_traj_box_qp(
+            assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
+        )
+        w = qp.w
+        if config.step_limit > 0.0:
+            norm = jnp.sqrt(jnp.sum(w**2))
+            scale = jnp.minimum(1.0, config.step_limit / jnp.maximum(norm, 1e-30))
+            w = w * scale
+        dx = w[1:, :nx]
+        du = w[:T, nx:]
+
+        xs = xs.at[1:].add(dx)     # full step (osqp_collocation.hpp:488-494)
+        us = us + du
+        step_norm = jnp.sqrt(jnp.sum(dx**2) + jnp.sum(du**2))
+        done = step_norm < config.tolerance
+        return (xs, us, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done)
+
+    init = (
+        xs0, us0,
+        jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
+        jnp.zeros((N, nb), dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    xs, us, _, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    cost = spec.cost(xs, us)   # osqp_collocation.hpp:503
+    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+
+
 def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> SolveResult:
     if spec.context is not None:
         raise NotImplementedError("context costs are not supported by the QP solvers")
+    if config.backend == "structured":
+        return _solve_osqp_collocation_structured(spec, config)
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     dt = spec.dt

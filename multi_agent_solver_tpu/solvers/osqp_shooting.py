@@ -50,6 +50,11 @@ class OSQPShootingConfig:
     hessian_floor: float = 1e-6          # osqp.hpp:283 max(diag+reg, 1e-6)
     qp_max_iterations: int = 1000        # setMaxIteration(1000), osqp.hpp:52
     qp_eps: float = 1e-3                 # OSQP default tolerances
+    # 'structured' (default): banded rows + block-tridiagonal KKT by cyclic
+    # reduction (solvers/traj_qp.py) -- O(T nb^3), the scalable TPU path.
+    # 'dense': materialized constraint matrix + dense Cholesky KKT
+    # (admm_qp.py) -- same answers (tests/test_qp_parity.py), O((T nb)^3).
+    backend: str = "structured"
     debug: bool = False
 
     @classmethod
@@ -57,6 +62,7 @@ class OSQPShootingConfig:
         return cls(
             max_iterations=int(get_param(params, "max_iterations")),
             tolerance=get_param(params, "tolerance"),
+            backend="dense" if param_flag(params, "dense_qp") else "structured",
             debug=param_flag(params, "debug"),
         )
 
@@ -89,9 +95,129 @@ def _shooting_indices(T: int, nx: int, nu: int):
     return base, (rows_A, cols_A, rows_B, cols_B), (m, n, n_dyn, n_sb, n_cb)
 
 
+def _solve_osqp_shooting_structured(
+    spec: OCPSpec, config: OSQPShootingConfig
+) -> SolveResult:
+    """Structured-QP variant: stage blocks w_t = [x_t, u_t] (w_T pads u),
+    dynamics rows C_t w_t + Cp_t w_{t+1} with C_t = [-A_t | -B_t],
+    Cp_t = [I | 0] -- the same QP as the dense path, block-tridiagonal KKT."""
+    from .traj_qp import TrajQP, solve_traj_box_qp
+
+    T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
+    dtype = spec.initial_state.dtype
+    d = spec.derivs
+    nb = nx + nu
+    N = T + 1
+
+    qp_config = ADMMConfig(
+        max_iterations=config.qp_max_iterations,
+        eps_abs=config.qp_eps,
+        eps_rel=config.qp_eps,
+    )
+    ts = jnp.arange(T)
+
+    def stage_bounds(bound, default, dim):
+        col = jnp.full((dim,), default, dtype) if bound is None else bound
+        return jnp.broadcast_to(col, (N, dim))
+
+    z_lb = jnp.concatenate(
+        [
+            stage_bounds(spec.state_lower_bounds, -INFTY, nx),
+            stage_bounds(spec.input_lower_bounds, -INFTY, nu),
+        ],
+        axis=1,
+    )
+    z_ub = jnp.concatenate(
+        [
+            stage_bounds(spec.state_upper_bounds, INFTY, nx),
+            stage_bounds(spec.input_upper_bounds, INFTY, nu),
+        ],
+        axis=1,
+    )
+    # Pin the nonexistent u_T pad slots.
+    z_lb = z_lb.at[T, nx:].set(0.0)
+    z_ub = z_ub.at[T, nx:].set(0.0)
+
+    r_bounds = jnp.zeros((T, nx), dtype)           # lb = ub = 0 dyn rows
+    eye_pad = jnp.concatenate(
+        [jnp.eye(nx, dtype=dtype), jnp.zeros((nx, nu), dtype)], axis=1
+    )  # Cp_t = [I | 0]
+
+    def assemble(xs, us):
+        x, u = xs[:-1], us
+        Q_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.lxx(a, b, t)))(x, u, ts)
+        QT_diag = jnp.diagonal(d.phixx(xs[-1]))
+        R_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.luu(a, b, t)))(x, u, ts)
+        P_stage = jnp.concatenate(
+            [
+                jnp.maximum(Q_diag, config.hessian_floor),
+                jnp.maximum(R_diag, config.hessian_floor),
+            ],
+            axis=1,
+        )
+        P_term = jnp.concatenate(
+            [jnp.maximum(QT_diag, config.hessian_floor), jnp.ones((nu,), dtype)]
+        )
+        P_diag = jnp.concatenate([P_stage, P_term[None]], axis=0)
+
+        q_stage = jnp.concatenate(
+            [jax.vmap(d.lx)(x, u, ts), jax.vmap(d.lu)(x, u, ts)], axis=1
+        )
+        q_term = jnp.concatenate([d.phix(xs[-1]), jnp.zeros((nu,), dtype)])
+        q = jnp.concatenate([q_stage, q_term[None]], axis=0)
+
+        A_t = jax.vmap(d.fx)(x, u)   # continuous Jacobians (parity, osqp.hpp:351)
+        B_t = jax.vmap(d.fu)(x, u)
+        C = jnp.concatenate([-A_t, -B_t], axis=2)              # [T, nx, nb]
+        Cp = jnp.broadcast_to(eye_pad, (T, nx, nb))
+        return TrajQP(P_diag, q, C, Cp, r_bounds, r_bounds, z_lb, z_ub)
+
+    us0 = spec.initial_controls
+    xs0 = spec.rollout(us0)
+    cost0 = spec.cost(xs0, us0)
+
+    def cond(state):
+        return (state[7] < config.max_iterations) & ~state[8]
+
+    def body(state):
+        xs, us, cost, w_warm, yr_warm, yb_warm, _, it, _ = state
+        qp = solve_traj_box_qp(
+            assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
+        )
+        u_candidate = qp.w[:T, nx:]
+        d_u = us - u_candidate                     # osqp.hpp:168
+        alpha = armijo_line_search(
+            spec.initial_state, us, d_u, spec.dynamics, spec.objective_function, spec.dt
+        )
+        u_new = us - alpha * d_u
+        xs_new = spec.rollout(u_new)
+        cost_new = spec.cost(xs_new, u_new)
+
+        small_change = jnp.abs(cost - cost_new) < config.tolerance
+        improved = cost_new < cost
+        accept = small_change | improved           # osqp.hpp:177-190
+        done = small_change | ~improved            # stop on converge or regression
+
+        xs = jnp.where(accept, xs_new, xs)
+        us = jnp.where(accept, u_new, us)
+        cost = jnp.where(accept, cost_new, cost)
+        return (xs, us, cost, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done)
+
+    init = (
+        xs0, us0, cost0,
+        jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
+        jnp.zeros((N, nb), dtype),
+        jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    xs, us, cost, _, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+
+
 def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResult:
     if spec.context is not None:
         raise NotImplementedError("context costs are not supported by the QP solvers")
+    if config.backend == "structured":
+        return _solve_osqp_shooting_structured(spec, config)
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     d = spec.derivs

@@ -117,8 +117,9 @@ PROBLEMS = {
 TIGHT_QP = dict(qp_max_iterations=40000)
 
 
+@pytest.mark.parametrize("backend", ["structured", "dense"])
 @pytest.mark.parametrize("name", sorted(PROBLEMS))
-def test_osqp_shooting_parity(name):
+def test_osqp_shooting_parity(name, backend):
     ocp = PROBLEMS[name]()
     max_iterations, tolerance = 6, 1e-6
 
@@ -126,6 +127,7 @@ def test_osqp_shooting_parity(name):
         max_iterations=max_iterations,
         tolerance=tolerance,
         qp_eps=1e-10,
+        backend=backend,
         **TIGHT_QP,
     )
     result = solve_osqp_shooting(ocp.spec(), config)
@@ -140,8 +142,9 @@ def test_osqp_shooting_parity(name):
     np.testing.assert_allclose(float(result.cost), cost, rtol=1e-8)
 
 
+@pytest.mark.parametrize("backend", ["structured", "dense"])
 @pytest.mark.parametrize("name", sorted(PROBLEMS))
-def test_osqp_collocation_parity(name):
+def test_osqp_collocation_parity(name, backend):
     ocp = PROBLEMS[name]()
     max_iterations, tolerance = 6, 1e-6
 
@@ -150,6 +153,7 @@ def test_osqp_collocation_parity(name):
         tolerance=tolerance,
         qp_eps_abs=1e-10,
         qp_eps_rel=1e-10,
+        backend=backend,
         **TIGHT_QP,
     )
     result = solve_osqp_collocation(ocp.spec(), config)
