@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 
 from .agent import Agent
@@ -118,6 +119,11 @@ class MultiAgentProblem:
             )
 
         inter = self.inter_agent_cost
+        n_agents = len(blocks)
+        uniform_dims = all(
+            b.state_dim == blocks[0].state_dim and b.control_dim == blocks[0].control_dim
+            for b in blocks
+        )
 
         def global_stage_cost(x, u, t):
             total = 0.0
@@ -126,10 +132,33 @@ class MultiAgentProblem:
             if inter is not None:
                 # Directed pair sum, matching the Nash per-agent convention
                 # (each agent pays its coupling to every other agent).
-                for i, (xs_i, xe_i, *_rest) in enumerate(slices):
-                    for j, (xs_j, xe_j, *_rest2) in enumerate(slices):
-                        if i != j:
-                            total = total + inter(x[xs_i:xe_i], x[xs_j:xe_j], t)
+                if uniform_dims and n_agents > 1:
+                    # Vectorized over (agent, other) pairs: the trace stays
+                    # O(1) in agent count (the unrolled double loop makes
+                    # compilation O(N^2) and intractable past a few dozen
+                    # agents).  Self-pairs are excluded by indexing, never
+                    # evaluated -- masking them after the fact would leak
+                    # NaN gradients through 1/distance-style couplings.
+                    import numpy as _np
+
+                    xa = x.reshape(n_agents, -1)
+                    others = jnp.asarray(
+                        _np.stack(
+                            [
+                                [j for j in range(n_agents) if j != i]
+                                for i in range(n_agents)
+                            ]
+                        )
+                    )  # [N, N-1]
+                    pair = jax.vmap(
+                        lambda xi, js: jax.vmap(lambda xj: inter(xi, xj, t))(xa[js])
+                    )(xa, others)  # [N, N-1]
+                    total = total + jnp.sum(pair)
+                else:
+                    for i, (xs_i, xe_i, *_rest) in enumerate(slices):
+                        for j, (xs_j, xe_j, *_rest2) in enumerate(slices):
+                            if i != j:
+                                total = total + inter(x[xs_i:xe_i], x[xs_j:xe_j], t)
             return total
 
         def global_terminal_cost(x):

@@ -9,6 +9,7 @@ import numpy as np
 
 from multi_agent_solver_tpu import (
     Agent,
+    CentralizedStrategy,
     MultiAgentProblem,
     OCP,
     make_solver,
@@ -119,3 +120,68 @@ class TestNashStrategies:
         sol1 = solve_multi_agent(strategy, problem)
         sol2 = solve_multi_agent(strategy, problem)  # warm-started second sweep
         assert sol2.total_cost <= sol1.total_cost + 1e-6
+
+
+class TestStructureAwareCentralized:
+    """VERDICT round 1 item 4: uncoupled centralized solves dispatch to the
+    batched per-agent path instead of the O((N nx)^3) dense joint solve."""
+
+    def test_dispatch_matches_joint_solve(self):
+        problem_fast = build_lqr(4)
+        fast = CentralizedStrategy(make_solver("ilqr", PARAMS))
+        assert fast.structure_aware
+        sol_fast = fast(problem_fast)
+
+        problem_joint = build_lqr(4)
+        joint = CentralizedStrategy(make_solver("ilqr", PARAMS), structure_aware=False)
+        sol_joint = joint(problem_joint)
+
+        np.testing.assert_allclose(
+            sol_fast.total_cost, sol_joint.total_cost, rtol=1e-8
+        )
+        for a, b in zip(sol_fast.controls, sol_joint.controls):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_64_agent_lqr_matches_sequential(self):
+        """64-agent centralized LQR: same cost as the sequential sweep, in
+        comparable time (the dense joint path is a 256-dim Riccati)."""
+        import time
+
+        problem_c = build_lqr(64)
+        central = CentralizedStrategy(make_solver("ilqr", PARAMS))
+        t0 = time.time()
+        sol_c = central(problem_c)
+        t_central = time.time() - t0
+
+        problem_s = build_lqr(64)
+        seq = make_strategy("sequential", make_solver("ilqr"), PARAMS, 10)
+        t0 = time.time()
+        sol_s = solve_multi_agent(seq, problem_s)
+        t_sequential = time.time() - t0
+
+        np.testing.assert_allclose(sol_c.total_cost, sol_s.total_cost, rtol=1e-6)
+        # One batched solve must not be slower than 10 batched sweeps plus
+        # overhead; generous factor to keep CI robust.
+        assert t_central < 2.0 * t_sequential + 30.0, (t_central, t_sequential)
+
+    def test_coupled_joint_cost_is_vectorized_and_correct(self):
+        """Joint stage cost with coupling: vectorized pair sum equals the
+        explicit double loop."""
+        problem = build_lqr(5)
+        problem.inter_agent_cost = lambda xi, xj, t: 0.01 * jnp.sum((xi - xj) ** 2)
+        problem.compute_offsets()
+        g = problem.build_global_ocp()
+        x = jnp.arange(float(g.state_dim)) * 0.1
+        u = jnp.zeros(g.control_dim)
+        got = float(g.stage_cost(x, u, 0))
+        want = 0.0
+        xa = np.asarray(x).reshape(5, -1)
+        for b in problem.blocks:
+            s, e = b.state_offset, b.state_offset + b.state_dim
+            cs, ce = b.control_offset, b.control_offset + b.control_dim
+            want += float(b.agent.ocp.stage_cost(x[s:e], u[cs:ce], 0))
+        for i in range(5):
+            for j in range(5):
+                if i != j:
+                    want += 0.01 * np.sum((xa[i] - xa[j]) ** 2)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
