@@ -6,7 +6,7 @@ backward pass:
 
     min_du  1/2 du' Quu du + qu' du   s.t.  lb <= du <= ub
 
-For the tiny control dimensions of trajectory optimization (nu <= 3 covers
+For the tiny control dimensions of trajectory optimization (nu <= 4 covers
 every model here), the QP is solved EXACTLY by enumerating all 3^nu
 active-set configurations (each dim free / at lower / at upper), solving each
 free subsystem in closed form, and selecting the configuration whose KKT
@@ -46,8 +46,8 @@ def boxqp_gains(
     """
     nu = qu.shape[0]
     nx = Qux.shape[1]
-    if nu > 3:
-        raise ValueError("boxqp enumeration supports nu <= 3")
+    if nu > 4:
+        raise ValueError("boxqp enumeration supports nu <= 4")
     dtype = qu.dtype
     big = jnp.asarray(1e30, dtype)
 

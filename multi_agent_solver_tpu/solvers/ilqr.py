@@ -214,7 +214,7 @@ def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None):
     use_boxqp = (
         config.bound_mode == "boxqp"
         and spec.has_input_bounds
-        and spec.control_dim <= 3
+        and spec.control_dim <= 4
         and us is not None
     )
     v_x = spec.derivs.phix(xs[-1])
@@ -425,7 +425,8 @@ def solve_ilqr_batched(
     Identical semantics to ``vmap(solve_ilqr)`` but the Riccati backward pass
     runs as ONE fused Pallas kernel over all batch lanes (see
     ops/riccati_pallas.py) -- the hot path of the solves/s benchmark.
-    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx, nu <= 4).
+    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 8, nu <= 4;
+    covers pairwise-stacked agents and richer vehicle models).
     """
     B = specs.initial_state.shape[0]
     T = specs.horizon_steps
@@ -433,7 +434,7 @@ def solve_ilqr_batched(
     nx, nu = specs.state_dim, specs.control_dim
 
     if backward == "auto":
-        backward = "pallas" if (nx <= 4 and nu <= 4) else "scan"
+        backward = "pallas" if (nx <= 8 and nu <= 4) else "scan"
     if config.bound_mode == "boxqp":
         backward = "scan"   # box-QP gains run in the XLA backward path
     interpret = jax.default_backend() == "cpu"

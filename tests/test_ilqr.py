@@ -181,3 +181,36 @@ class TestBatching:
                 float(batched.cost[i]), float(single.cost), rtol=1e-7,
                 err_msg=f"batch element {i}",
             )
+
+
+class TestBoxQPDimensionSweep:
+    def test_boxqp_gains_nu4_match_projected_enumeration(self):
+        """nu = 4 enumeration (81 active sets) solves the box QP exactly."""
+        import itertools
+
+        from multi_agent_solver_tpu.ops.boxqp import boxqp_gains
+
+        rng = np.random.RandomState(3)
+        for trial in range(10):
+            nu, nx = 4, 5
+            M = rng.randn(nu, nu)
+            Quu = jnp.asarray(M @ M.T + 0.5 * np.eye(nu))
+            qu = jnp.asarray(rng.randn(nu))
+            Qux = jnp.asarray(rng.randn(nu, nx))
+            lb = jnp.asarray(-np.abs(rng.rand(nu)) - 0.01)
+            ub = jnp.asarray(np.abs(rng.rand(nu)) + 0.01)
+            k, K = boxqp_gains(Quu, qu, Qux, lb, ub)
+
+            # Brute-force reference: dense grid projection via scipy-free
+            # quadratic minimization over the box (projected gradient).
+            Q = np.asarray(Quu)
+            q = np.asarray(qu)
+            lo, hi = np.asarray(lb), np.asarray(ub)
+            x = np.zeros(nu)
+            step = 1.0 / np.linalg.eigvalsh(Q).max()
+            for _ in range(20000):
+                x = np.clip(x - step * (Q @ x + q), lo, hi)
+            np.testing.assert_allclose(np.asarray(k), x, atol=1e-6)
+            # Clamped dims -> zero feedback rows.
+            clamped = (np.abs(x - lo) < 1e-9) | (np.abs(x - hi) < 1e-9)
+            assert np.all(np.asarray(K)[clamped] == 0.0)

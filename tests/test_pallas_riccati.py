@@ -7,6 +7,7 @@ exercised by bench.py and validated against the same scan reference.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multi_agent_solver_tpu.ops.riccati_pallas import riccati_backward_pallas
 from multi_agent_solver_tpu.ops.small import psd_solve_with_escalation
@@ -63,8 +64,11 @@ def _random_problem(seed, B=6, T=10, nx=4, nu=2):
 
 
 class TestRiccatiKernel:
-    def test_matches_scan_reference(self):
-        p = _random_problem(0)
+    @pytest.mark.parametrize("nx,nu", [(2, 1), (4, 2), (6, 3), (8, 4)])
+    def test_matches_scan_reference(self, nx, nu):
+        """Dimension sweep: nx <= 8 covers pairwise-stacked agents and
+        richer vehicle models (VERDICT round 1 item 5)."""
+        p = _random_problem(0, nx=nx, nu=nu)
         k_p, K_p = riccati_backward_pallas(
             p["A"], p["Bm"], p["lx"], p["lu"], p["lxx"], p["luu"], p["lux"],
             p["vx0"], p["vxx0"], interpret=True,
