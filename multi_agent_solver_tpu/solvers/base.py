@@ -47,6 +47,60 @@ class SolveResult:
     ineq_violation: Array = 0.0
 
 
+# ---------------------------------------------------------------------------
+# Opt-in host wall-clock deadline (reference max_ms semantics)
+# ---------------------------------------------------------------------------
+#
+# The reference checks elapsed milliseconds at the top of every outer
+# iteration and stops, keeping the best-so-far (ilqr.hpp:84-90,
+# osqp.hpp:122-132, osqp_collocation.hpp:470-477).  Inside a compiled TPU
+# program a wall clock is not traceable, and on remote backends the first
+# call's budget would be consumed by compilation -- so by default ``max_ms``
+# is accepted and ignored (documented in docs/DESIGN.md).  Passing
+# ``enforce_max_ms=1`` restores the reference behavior on the host solve
+# path: each outer iteration reads the host clock through ``io_callback``
+# and raises a stop flag once the deadline passes.
+#
+# The deadline itself lives in a thread-local slot (not the trace) so the
+# jitted executable stays cached across solves; ``SolverBase.solve`` arms it
+# right before each call.  Batched strategy sweeps never include the
+# callback (iteration budgets are the deadline there).
+
+import time as _time
+
+import numpy as _np
+
+
+class _DeadlineSlot:
+    # Plain module state, NOT thread-local: XLA executes io_callbacks on its
+    # own callback thread, which would see a fresh thread-local.  Host-side
+    # solve() calls are sequential per process, which is the supported use.
+    value = None
+
+
+_DEADLINE = _DeadlineSlot()
+
+
+def _deadline_cb():
+    d = _DEADLINE.value
+    return _np.bool_(d is not None and _time.perf_counter() > d)
+
+
+def deadline_exceeded() -> Array:
+    """Traced host-clock check against the armed deadline (see above)."""
+    from jax.experimental import io_callback
+
+    return io_callback(
+        _deadline_cb, jax.ShapeDtypeStruct((), jnp.bool_), ordered=True
+    )
+
+
+def arm_deadline(max_ms: float) -> None:
+    _DEADLINE.value = (
+        _time.perf_counter() + max_ms / 1000.0 if max_ms and max_ms > 0 else None
+    )
+
+
 class SolverBase:
     """Host-side solver shim with the reference's API surface."""
 
@@ -91,6 +145,8 @@ class SolverBase:
     def solve(self, problem: OCP) -> SolveResult:
         """Solve and write ``best_states`` / ``best_controls`` / ``best_cost``
         back into the problem, like the reference's mutating ``solve(OCP&)``."""
+        if getattr(self.config, "enforce_max_ms", False):
+            arm_deadline(getattr(self.config, "max_ms", 0.0))
         result = self.solve_spec(problem.spec())
         problem.set_result(result.states, result.controls, result.cost)
         return result

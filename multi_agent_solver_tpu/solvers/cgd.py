@@ -52,6 +52,8 @@ class CGDConfig:
     tolerance: float = 1e-6
     penalty_cap: float = 1e6
     gradient_mode: str = "ad"  # 'ad' (exact, fast) or 'fd' (reference parity)
+    max_ms: float = 0.0            # host deadline; ignored unless enforced
+    enforce_max_ms: bool = False
     debug: bool = False
 
     @classmethod
@@ -60,6 +62,8 @@ class CGDConfig:
             max_iterations=int(get_param(params, "max_iterations")),
             tolerance=get_param(params, "tolerance"),
             gradient_mode="fd" if param_flag(params, "fd_gradient") else "ad",
+            max_ms=get_param(params, "max_ms", 0.0),
+            enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
         )
 
@@ -101,11 +105,11 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
         return jax.grad(total)(us)
 
     def cond(state):
-        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged = state
-        return (it < config.max_iterations) & ~converged
+        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged, timed_out = state
+        return (it < config.max_iterations) & ~converged & ~timed_out
 
     def body(state):
-        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, _ = state
+        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, _, _ = state
         obj = augmented_objective_fn(eq_mult, ineq_mult, rho)
 
         grads = gradient(us, eq_mult, ineq_mult, rho)
@@ -138,11 +142,18 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
                 "CGD iter {it}: aug_cost={c} step={s} rho={r}",
                 it=it, c=aug_new, s=step, r=rho,
             )
-        return (us_new, xs_new, aug_new, eq_mult, ineq_mult, rho, it + 1, converged)
+        if config.enforce_max_ms and config.max_ms > 0:
+            from .base import deadline_exceeded
+
+            timed_out = deadline_exceeded()
+        else:
+            timed_out = jnp.asarray(False)
+        return (us_new, xs_new, aug_new, eq_mult, ineq_mult, rho, it + 1,
+                converged, timed_out)
 
     init = (us0, xs0, aug0, eq_mult0, ineq_mult0, rho0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False))
-    us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged = jax.lax.while_loop(
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False))
+    us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged, _ = jax.lax.while_loop(
         cond, body, init
     )
 

@@ -69,6 +69,10 @@ class ILQRConfig:
     constraint_tolerance: float = 1e-4
     inequality_activation_tolerance: float = 1e-6
     alpha_min: float = 1e-3       # forward-pass floor (ilqr.hpp:199)
+    # Host wall-clock budget (reference: ilqr.hpp:84-90).  Ignored unless
+    # enforce_max_ms is set -- see solvers/base.py deadline machinery.
+    max_ms: float = 0.0
+    enforce_max_ms: bool = False
     reg_init: float = 1e-6        # q_uu regularization ladder (ilqr.hpp:174)
     reg_factor: float = 10.0
     reg_levels: int = 16
@@ -104,6 +108,8 @@ class ILQRConfig:
                 "continuous" if param_flag(params, "continuous_jacobians") else "discrete"
             ),
             bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
+            max_ms=get_param(params, "max_ms", 0.0),
+            enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
         )
 
@@ -325,11 +331,11 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
     merit0 = compute_merit(spec, config, xs0, us0, eq_mult0, ineq_mult0, rho0)
 
     def cond(state):
-        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
-        return (it < config.max_iterations) & ~converged
+        it, converged, timed_out = state[7], state[8], state[11]
+        return (it < config.max_iterations) & ~converged & ~timed_out
 
     def body(state):
-        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, _, _ = state
+        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, _, _, _ = state
 
         # Fresh merit under the CURRENT multipliers/penalty (see module
         # docstring: fixes the reference's stale-merit deadlock).
@@ -377,15 +383,22 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
                 "eq_violation={ev} ineq_violation={iv}",
                 it=it, c=cost_new, m=merit_new, d=improvement, ev=eq_viol, iv=ineq_viol,
             )
+        if config.enforce_max_ms and config.max_ms > 0:
+            from .base import deadline_exceeded
+
+            timed_out = deadline_exceeded()
+        else:
+            timed_out = jnp.asarray(False)
         return (
             xs_new, us_new, cost_new, merit_new, eq_mult, ineq_mult, rho,
-            it + 1, converged, eq_viol, ineq_viol,
+            it + 1, converged, eq_viol, ineq_viol, timed_out,
         )
 
     zero = jnp.asarray(0.0, dtype)
     init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False), zero, zero)
-    xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = (
+            jnp.asarray(0, jnp.int32), jnp.asarray(False), zero, zero,
+            jnp.asarray(False))
+    xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = (
         jax.lax.while_loop(cond, body, init)
     )
     return SolveResult(

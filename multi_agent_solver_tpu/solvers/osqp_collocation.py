@@ -42,6 +42,7 @@ from ..ocp import OCPSpec
 from ..types import Array, SolverParams, get_param, param_flag
 from .admm_qp import ADMMConfig, INFTY, solve_box_qp
 from .base import SolveResult, SolverBase, register_solver
+from .osqp_shooting import _maybe_deadline
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +63,8 @@ class OSQPCollocationConfig:
     # (solvers/traj_qp.py) -- O(T nb^3), scales to T in the thousands.
     # 'dense': materialized constraint matrix + dense Cholesky.
     backend: str = "structured"
+    max_ms: float = 1000.0         # osqp_collocation.hpp:104 default; opt-in
+    enforce_max_ms: bool = False
     debug: bool = False
 
     @classmethod
@@ -74,6 +77,8 @@ class OSQPCollocationConfig:
             qp_eps_rel=get_param(params, "osqprel_tol", 1e-4),
             step_limit=get_param(params, "step_limit", 0.0),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
+            max_ms=get_param(params, "max_ms", 1000.0),
+            enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
         )
 
@@ -213,10 +218,10 @@ def _solve_osqp_collocation_structured(
     xs0 = spec.rollout(us0)
 
     def cond(state):
-        return (state[6] < config.max_iterations) & ~state[7]
+        return (state[6] < config.max_iterations) & ~state[7] & ~state[8]
 
     def body(state):
-        xs, us, w_warm, yr_warm, yb_warm, _, it, _ = state
+        xs, us, w_warm, yr_warm, yb_warm, _, it, _, _ = state
         qp = solve_traj_box_qp(
             assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
         )
@@ -232,15 +237,17 @@ def _solve_osqp_collocation_structured(
         us = us + du
         step_norm = jnp.sqrt(jnp.sum(dx**2) + jnp.sum(du**2))
         done = step_norm < config.tolerance
-        return (xs, us, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done)
+        timed_out = _maybe_deadline(config)
+        return (xs, us, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done, timed_out)
 
     init = (
         xs0, us0,
         jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
         jnp.zeros((N, nb), dtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(False),
     )
-    xs, us, _, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    xs, us, _, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     cost = spec.cost(xs, us)   # osqp_collocation.hpp:503
     return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
 
@@ -341,10 +348,10 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
     xs0 = spec.rollout(us0)
 
     def cond(state):
-        return (state[5] < config.max_iterations) & ~state[6]
+        return (state[5] < config.max_iterations) & ~state[6] & ~state[7]
 
     def body(state):
-        xs, us, x_warm, y_warm, _, it, _ = state
+        xs, us, x_warm, y_warm, _, it, _, _ = state
         P_diag, q, A_mat, lb, ub = assemble(xs, us)
         qp = solve_box_qp(P_diag, q, A_mat, lb, ub, qp_config, x0=x_warm, y0=y_warm)
 
@@ -360,14 +367,16 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
         us = us + du
         step_norm = jnp.sqrt(jnp.sum(delta**2))
         done = step_norm < config.tolerance
-        return (xs, us, qp.x, qp.y, qp.iterations, it + 1, done)
+        timed_out = _maybe_deadline(config)
+        return (xs, us, qp.x, qp.y, qp.iterations, it + 1, done, timed_out)
 
     init = (
         xs0, us0,
         jnp.zeros((n,), dtype), jnp.zeros((m,), dtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(False),
     )
-    xs, us, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    xs, us, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     cost = spec.cost(xs, us)   # osqp_collocation.hpp:503
     return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
 

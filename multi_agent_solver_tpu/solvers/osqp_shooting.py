@@ -43,6 +43,14 @@ from .admm_qp import ADMMConfig, INFTY, solve_box_qp
 from .base import SolveResult, SolverBase, register_solver
 
 
+def _maybe_deadline(config):
+    if config.enforce_max_ms and config.max_ms > 0:
+        from .base import deadline_exceeded
+
+        return deadline_exceeded()
+    return jnp.asarray(False)
+
+
 @dataclasses.dataclass(frozen=True)
 class OSQPShootingConfig:
     max_iterations: int = 20
@@ -55,6 +63,8 @@ class OSQPShootingConfig:
     # 'dense': materialized constraint matrix + dense Cholesky KKT
     # (admm_qp.py) -- same answers (tests/test_qp_parity.py), O((T nb)^3).
     backend: str = "structured"
+    max_ms: float = 0.0            # host deadline (osqp.hpp:122-132); opt-in
+    enforce_max_ms: bool = False
     debug: bool = False
 
     @classmethod
@@ -63,6 +73,8 @@ class OSQPShootingConfig:
             max_iterations=int(get_param(params, "max_iterations")),
             tolerance=get_param(params, "tolerance"),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
+            max_ms=get_param(params, "max_ms", 0.0),
+            enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
         )
 
@@ -177,10 +189,10 @@ def _solve_osqp_shooting_structured(
     cost0 = spec.cost(xs0, us0)
 
     def cond(state):
-        return (state[7] < config.max_iterations) & ~state[8]
+        return (state[7] < config.max_iterations) & ~state[8] & ~state[9]
 
     def body(state):
-        xs, us, cost, w_warm, yr_warm, yb_warm, _, it, _ = state
+        xs, us, cost, w_warm, yr_warm, yb_warm, _, it, _, _ = state
         qp = solve_traj_box_qp(
             assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
         )
@@ -201,15 +213,18 @@ def _solve_osqp_shooting_structured(
         xs = jnp.where(accept, xs_new, xs)
         us = jnp.where(accept, u_new, us)
         cost = jnp.where(accept, cost_new, cost)
-        return (xs, us, cost, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done)
+        timed_out = _maybe_deadline(config)
+        return (xs, us, cost, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done,
+                timed_out)
 
     init = (
         xs0, us0, cost0,
         jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
         jnp.zeros((N, nb), dtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(False),
     )
-    xs, us, cost, _, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    xs, us, cost, _, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
 
 
@@ -280,10 +295,10 @@ def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResul
     cost0 = spec.cost(xs0, us0)
 
     def cond(state):
-        return (state[6] < config.max_iterations) & ~state[7]
+        return (state[6] < config.max_iterations) & ~state[7] & ~state[8]
 
     def body(state):
-        xs, us, cost, x_warm, y_warm, _, it, _ = state
+        xs, us, cost, x_warm, y_warm, _, it, _, _ = state
         P_diag, q, A_mat = assemble(xs, us)
         qp = solve_box_qp(P_diag, q, A_mat, lb, ub, qp_config, x0=x_warm, y0=y_warm)
 
@@ -304,14 +319,16 @@ def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResul
         xs = jnp.where(accept, xs_new, xs)
         us = jnp.where(accept, u_new, us)
         cost = jnp.where(accept, cost_new, cost)
-        return (xs, us, cost, qp.x, qp.y, qp.iterations, it + 1, done)
+        timed_out = _maybe_deadline(config)
+        return (xs, us, cost, qp.x, qp.y, qp.iterations, it + 1, done, timed_out)
 
     init = (
         xs0, us0, cost0,
         jnp.zeros((n,), dtype), jnp.zeros((m,), dtype),
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(False),
     )
-    xs, us, cost, _, _, _, it, done = jax.lax.while_loop(cond, body, init)
+    xs, us, cost, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
 
 

@@ -111,3 +111,31 @@ class TestHeterogeneousAgents:
         assert solution.states[0].shape == (9, 2)
         assert solution.states[1].shape == (9, 3)
         assert solution.total_cost < 2.0 * (8 * (1.0 * 2) + 2)  # descended
+
+
+class TestHostDeadline:
+    """Opt-in max_ms enforcement (reference: ilqr.hpp:84-90)."""
+
+    def test_slow_solve_returns_early_with_valid_result(self):
+        from .problems import single_track_lane_ocp
+
+        ocp = single_track_lane_ocp()
+        solver = make_solver(
+            "ilqr",
+            {"max_iterations": 100000, "tolerance": 0.0,  # never converges
+             "max_ms": 300.0, "enforce_max_ms": 1},
+        )
+        result = solver.solve(ocp)
+        assert int(result.iterations) < 100000
+        assert np.isfinite(float(result.cost))
+        assert np.isfinite(np.asarray(result.controls)).all()
+
+    def test_deadline_ignored_by_default(self):
+        from .problems import lqr_ocp
+
+        ocp = lqr_ocp()
+        solver = make_solver(
+            "ilqr", {"max_iterations": 50, "tolerance": 1e-9, "max_ms": 0.0001}
+        )
+        result = solver.solve(ocp)   # must NOT stop after 0.1 microseconds
+        assert int(result.iterations) >= 2
