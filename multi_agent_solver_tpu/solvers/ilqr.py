@@ -549,6 +549,18 @@ def solve_ilqr_batched(
             k, K = _batched_backward_pallas(
                 specs, config, xs, us, (A, Bm, lx, lu, lxx, luu, lux), interpret
             )
+        elif backward == "assoc":
+            # Time-parallel backward pass (ops/riccati_assoc.py): O(log T)
+            # depth -- the long-horizon alternative to the sequential-grid
+            # Pallas kernel.  No per-stage regularization ladder.
+            from ..ops.riccati_assoc import riccati_backward_assoc
+
+            phix = jax.vmap(lambda s, xT: s.derivs.phix(xT))(specs, xs[:, -1])
+            phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
+            phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
+            k, K = riccati_backward_assoc(
+                A, Bm, lx, lu, lxx, luu, lux, phix, phixx, reg=config.reg_init
+            )
         else:
             k, K = jax.vmap(
                 lambda s, x, a, b, c, d, e, f, g, u: _backward_pass(
