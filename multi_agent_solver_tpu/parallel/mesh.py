@@ -142,6 +142,126 @@ def mesh_multi_agent_solve(
     return step(specs)
 
 
+def mesh_coupled_nash_solve(
+    batched_solve_fn: Callable[[OCPSpec], SolveResult],
+    specs: OCPSpec,
+    inter_agent_cost: Callable,
+    mesh: Mesh,
+    max_outer: int = 8,
+    k_neighbors: Optional[int] = None,
+    distance_dims: Sequence[int] = (0, 1),
+):
+    """Coupled Nash (Jacobi) sweeps with agents sharded over the mesh.
+
+    Each device owns ``N / mesh.shape['agent']`` agents and, per sweep,
+    ``all_gather``\\ s every agent's frozen plan across the ``agent`` axis --
+    the one place the multi-agent problem genuinely needs a collective (an
+    ICI all-gather of [N, T+1, nx] states; everything else stays local).
+    The sweep semantics mirror ``SequentialNashStrategy._run_stacked``
+    exactly (unconditional Jacobi best-response against frozen plans,
+    nash.hpp:53-90 + the coupling extension), so results match the
+    single-device stacked path to float tolerance.
+
+    ``specs``: the stacked [N, ...] agent specs with the UNCOUPLED stage
+    cost (as from ``strategies.base.stack_agent_specs``); the coupled
+    context cost is attached here via the same memoized builder the Nash
+    strategies use, so compilations are shared.
+
+    ``k_neighbors``: as ``MultiAgentProblem.coupling_neighbors`` -- couple
+    each agent only to its K nearest (in ``distance_dims`` of the state)
+    instead of all N-1 others.
+
+    Returns ``(states [N,T+1,nx], controls [N,T,nu], costs [N], total)``
+    with per-agent costs evaluated against the FINAL joint plans and
+    ``total`` their psum over the mesh.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.5 canonical location
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from ..ocp import with_context_cost
+    from ..strategies.nash import make_coupled_stage
+
+    N = int(specs.initial_state.shape[0])
+    n_shards = mesh.shape[AGENT_AXIS]
+    if N % n_shards != 0:
+        raise ValueError(f"agents {N} must divide agent axis {n_shards}")
+    n_local = N // n_shards
+    T = specs.horizon_steps
+
+    cspecs = with_context_cost(
+        specs, make_coupled_stage(specs.stage_cost, inter_agent_cost)
+    )
+
+    if k_neighbors is not None and int(k_neighbors) >= N - 1:
+        k_neighbors = None  # all-pairs is cheaper than a KNN of everyone
+
+    if k_neighbors is None:
+        others_idx = jnp.asarray(
+            np.stack([[j for j in range(N) if j != i] for i in range(N)])
+        )  # [N, N-1]
+    else:
+        dims = jnp.asarray(np.asarray(distance_dims))
+
+    def local_ctx(states_local, gid0):
+        """Coupling context for this shard's agents from gathered plans."""
+        states_all = jax.lax.all_gather(
+            states_local, AGENT_AXIS, tiled=True
+        )  # [N, T+1, nx]
+        if k_neighbors is None:
+            rows = jax.lax.dynamic_slice_in_dim(others_idx, gid0, n_local, 0)
+            ctx = states_all[rows]                        # [n_local, N-1, T+1, nx]
+            return jnp.swapaxes(ctx[:, :, :-1, :], 1, 2)  # [n_local, T, N-1, nx]
+        K = int(k_neighbors)
+        st_all = states_all[:, :T, :]                     # [N, T, nx]
+        pos_all = st_all[:, :, dims]                      # [N, T, d]
+        pos_loc = states_local[:, :T, dims]               # [n_local, T, d]
+        diff = pos_loc[:, None] - pos_all[None]           # [n_local, N, T, d]
+        d2 = jnp.sum(diff**2, axis=-1)                    # [n_local, N, T]
+        self_mask = (gid0 + jnp.arange(n_local))[:, None] == jnp.arange(N)[None, :]
+        d2 = d2 + 1e30 * self_mask[:, :, None]
+        _, idx = jax.lax.top_k(-jnp.moveaxis(d2, 2, 1), K)  # [n_local, T, K]
+        ts = jnp.arange(T)[None, :, None]
+        return st_all[idx, ts]                              # [n_local, T, K, nx]
+
+    def shard_fn(local_specs):
+        gid0 = jax.lax.axis_index(AGENT_AXIS) * n_local
+        xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(local_specs)
+
+        def sweep(_, carry):
+            warm, states = carry
+            s = local_specs.replace(
+                initial_controls=warm, context=local_ctx(states, gid0)
+            )
+            res = batched_solve_fn(s)
+            return res.controls, res.states
+
+        controls, states = jax.lax.fori_loop(
+            0, max_outer, sweep, (local_specs.initial_controls, xs0)
+        )
+
+        ctx = local_ctx(states, gid0)
+        costs = jax.vmap(lambda s, x, u, c: s.replace(context=c).cost(x, u))(
+            local_specs, states, controls, ctx
+        )
+        total = jax.lax.psum(jnp.sum(costs), AGENT_AXIS)
+        return states, controls, costs, total
+
+    def place(leaf):
+        return jax.device_put(leaf, NamedSharding(mesh, P(AGENT_AXIS)))
+
+    cspecs = jax.tree_util.tree_map(place, cspecs)
+    fn = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(AGENT_AXIS),),
+        out_specs=(P(AGENT_AXIS), P(AGENT_AXIS), P(AGENT_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)(cspecs)
+
+
 def initialize_distributed(**kwargs) -> None:
     """Initialize multi-host JAX (DCN across hosts).
 

@@ -34,6 +34,7 @@ path; heterogeneous problems fall back to an equivalent host loop
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import numpy as np
@@ -53,6 +54,27 @@ from .base import (
     scatter_stacked_results,
     stack_agent_specs,
 )
+
+
+@functools.lru_cache(maxsize=None)
+def make_coupled_stage(base_stage, inter):
+    """Stage cost + summed pairwise coupling against a per-step context.
+
+    Memoized on (base_stage, inter) identity so every consumer (Nash
+    strategies, the mesh-sharded coupled sweep in parallel/mesh.py) gets the
+    SAME function object -- spec statics must be identity-shared or jitted
+    solvers retrace per call site.
+    """
+
+    def coupled_stage(x, u, t, ctx):          # ctx [K_or_N-1, nx]
+        # vmap over the neighbours keeps the trace size O(1) in agent
+        # count (an unrolled pair loop makes compilation O(N) and
+        # intractable past a few dozen agents); works on both per-problem
+        # vectors and lane-shaped kernel values.
+        pair_costs = jax.vmap(lambda cj: inter(x, cj, t))(ctx)
+        return base_stage(x, u, t) + jnp.sum(pair_costs, axis=0)
+
+    return coupled_stage
 
 
 class _NashBase:
@@ -111,17 +133,7 @@ class _NashBase:
 
         self._ctx_for = ctx_for
 
-        base_stage = specs.stage_cost
-
-        def coupled_stage(x, u, t, ctx):          # ctx [K_or_N-1, nx]
-            # vmap over the neighbours keeps the trace size O(1) in agent
-            # count (an unrolled pair loop makes compilation O(N) and
-            # intractable past a few dozen agents); works on both per-problem
-            # vectors and lane-shaped kernel values.
-            pair_costs = jax.vmap(lambda cj: inter(x, cj, t))(ctx)
-            return base_stage(x, u, t) + jnp.sum(pair_costs, axis=0)
-
-        return with_context_cost(specs, coupled_stage)
+        return with_context_cost(specs, make_coupled_stage(specs.stage_cost, inter))
 
     def _objective(self, specs: OCPSpec, controls, context):
         """Per-agent cost of rolled-out controls (context-aware): [N]."""

@@ -48,6 +48,50 @@ def single_track_lane_ocp(**overrides) -> OCP:
     return ocp
 
 
+def head_on_fleet_problem(n: int = 8, coupling_neighbors=None):
+    """N homogeneous cars in opposing lanes with a soft collision coupling.
+
+    Even agents drive +x from the left, odd agents -x from the right, on
+    slightly offset lanes, so the pairwise coupling is active for every
+    agent.  Used by the coupled-Nash mesh tests.
+    """
+    from multi_agent_solver_tpu import Agent, MultiAgentProblem
+
+    def stage_cost(x, u, t):
+        return 1.0 * x[1] ** 2 + (x[3] - 2.0) ** 2 + 0.05 * (u[0] ** 2 + u[1] ** 2)
+
+    def make(agent_id, x0):
+        ocp = OCP(
+            state_dim=4,
+            control_dim=2,
+            horizon_steps=20,
+            dt=0.25,
+            initial_state=jnp.asarray(x0, jnp.float64),
+            dynamics=single_track_model,
+            stage_cost=stage_cost,
+            input_lower_bounds=jnp.array([-0.6, -2.0]),
+            input_upper_bounds=jnp.array([0.6, 2.0]),
+        )
+        ocp.initialize_problem()
+        return Agent(agent_id, ocp)
+
+    problem = MultiAgentProblem()
+    for i in range(n):
+        lane = 0.3 * (i // 2)
+        if i % 2 == 0:
+            problem.add_agent(make(i, [-8.0, lane, 0.0, 2.0]))
+        else:
+            problem.add_agent(make(i, [8.0, lane + 0.15, jnp.pi, 2.0]))
+
+    def collision_cost(x_i, x_j, t):
+        d2 = (x_i[0] - x_j[0]) ** 2 + (x_i[1] - x_j[1]) ** 2
+        return 30.0 * jnp.exp(-d2 / 4.0)
+
+    problem.inter_agent_cost = collision_cost
+    problem.coupling_neighbors = coupling_neighbors
+    return problem
+
+
 def lqr_ocp(n_x: int = 4, n_u: int = 4, dt: float = 0.1, T: int = 10) -> OCP:
     """Mirrors examples/multi_agent_lqr.cpp:21-80: A=B=I, Q=R=Qf=I, x0=[1,0,...]."""
     A = jnp.eye(n_x)

@@ -80,6 +80,52 @@ class TestMesh:
             np.array(sharded.cost), np.array(plain.cost), rtol=1e-5
         )
 
+    def test_mesh_coupled_nash_matches_single_device(self):
+        """Coupled game sharded over the agent mesh axis == stacked path.
+
+        8 cars, one per device; each sweep all-gathers the others' frozen
+        plans across the mesh (VERDICT r1 item 6)."""
+        self._coupled_mesh_case(k_neighbors=None)
+
+    def test_mesh_coupled_nash_knn_matches_single_device(self):
+        self._coupled_mesh_case(k_neighbors=3)
+
+    @staticmethod
+    def _coupled_mesh_case(k_neighbors):
+        from multi_agent_solver_tpu import make_solver, make_strategy, solve_multi_agent
+        from multi_agent_solver_tpu.parallel.mesh import mesh_coupled_nash_solve
+        from multi_agent_solver_tpu.strategies.base import stack_agent_specs
+
+        from .problems import head_on_fleet_problem
+
+        params = {"max_iterations": 10, "tolerance": 1e-6}
+        max_outer = 3
+
+        # Single-device stacked Nash baseline.
+        prob_a = head_on_fleet_problem(n=8, coupling_neighbors=k_neighbors)
+        strategy = make_strategy("sequential", make_solver("ilqr"), params, max_outer)
+        solve_multi_agent(strategy, prob_a)
+        base_costs = np.array([float(b.agent.ocp.best_cost) for b in prob_a.blocks])
+
+        # Agent-sharded mesh path on a fresh, identical problem.
+        prob_b = head_on_fleet_problem(n=8, coupling_neighbors=k_neighbors)
+        prob_b.compute_offsets()
+        specs = stack_agent_specs(prob_b)
+        solver = make_solver("ilqr")
+        config = type(solver).config_cls.from_params(params)
+        mesh = make_mesh(n_data=1, n_agent=8)
+        states, controls, costs, total = mesh_coupled_nash_solve(
+            lambda s: type(solver)._solve_batched_fn(s, config),
+            specs,
+            prob_b.inter_agent_cost,
+            mesh,
+            max_outer=max_outer,
+            k_neighbors=k_neighbors,
+        )
+        assert states.shape[0] == 8 and controls.shape[0] == 8
+        np.testing.assert_allclose(np.array(costs), base_costs, rtol=1e-6)
+        np.testing.assert_allclose(float(total), base_costs.sum(), rtol=1e-6)
+
     def test_mesh_multi_agent_grid(self):
         spec = single_track_lane_ocp().spec()
         B, N = 4, 2
