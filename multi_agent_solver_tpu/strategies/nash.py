@@ -27,9 +27,10 @@ every sweep), turning the Jacobi sweeps into true best-response dynamics.
 The reference has no inter-agent coupling at all
 (multi_agent_problem.hpp:76-92).
 
-Agents must be homogeneous (same problem functions/dims) for the stacked
-path; heterogeneous problems fall back to an equivalent host loop
-(uncoupled only).
+Heterogeneous agents (mixed problem functions/dims) run on the same stacked
+path via padding + type-indicator states (see :mod:`.hetero`); only mixes
+with differing horizon/dt/derivative-mode fall back to an equivalent host
+loop (uncoupled only).
 """
 
 from __future__ import annotations
@@ -54,6 +55,7 @@ from .base import (
     scatter_stacked_results,
     stack_agent_specs,
 )
+from .hetero import scatter_padded_results, stack_agent_specs_padded
 
 
 @functools.lru_cache(maxsize=None)
@@ -176,23 +178,35 @@ class _NashBase:
     def __call__(self, problem: MultiAgentProblem) -> Solution:
         if not problem.blocks:
             problem.compute_offsets()
+        meta = None
         if agents_are_homogeneous(problem):
             specs = stack_agent_specs(problem)
+        else:
+            # Mixed agent types: pad to uniform dims with type-indicator
+            # states (strategies/hetero.py) so the batched sweep still runs
+            # as one compiled program.
+            specs, meta = stack_agent_specs_padded(problem)
+        if specs is not None:
             specs = self._prepare(problem, specs)
             key = (
                 specs.initial_state.shape[0],
                 self._coupled,
                 problem.coupling_neighbors,
+                id(specs.dynamics),
             )
             if self._jitted is None or self._jitted_key != key:
                 self._jitted = jax.jit(self._run_stacked)
                 self._jitted_key = key
             states, controls, costs = self._jitted(specs)
-            scatter_stacked_results(problem, states, controls, costs)
+            if meta is None:
+                scatter_stacked_results(problem, states, controls, costs)
+            else:
+                scatter_padded_results(problem, meta, states, controls, costs)
         else:
             if problem.inter_agent_cost is not None:
                 raise NotImplementedError(
-                    "inter-agent coupling requires homogeneous agents"
+                    "inter-agent coupling requires agents stackable by "
+                    "padding (equal horizon/dt, AD mode, default objective)"
                 )
             self._run_host(problem)
         return collect_solution(problem)
