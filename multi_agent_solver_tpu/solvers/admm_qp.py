@@ -34,10 +34,29 @@ see ADMMConfig.polish.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+
+
+def full_precision(fn):
+    """Trace ``fn`` with f32-exact matmuls.
+
+    TPU dots default to bf16-input passes; the ADMM recursions (Gram
+    products, Cholesky solves, cyclic reduction) amplify that rounding into
+    divergence/NaN at f32 -- observed on the real chip for the collocation
+    SQP (single_track cost=nan) while identical CPU f32 runs converge.
+    These are tiny matrices; full precision costs nothing measurable.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 from ..types import Array
 
@@ -134,6 +153,7 @@ def _residuals(P_diag, q, A, x, y, z, D, E, c):
     return r_prim, r_dual, prim_scale, dual_scale
 
 
+@full_precision
 def solve_box_qp(
     P_diag: Array,
     q: Array,

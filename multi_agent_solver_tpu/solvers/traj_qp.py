@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..ops.block_tridiag import bt_factor, bt_solve
 from ..types import Array
-from .admm_qp import ADMMConfig, INFTY
+from .admm_qp import ADMMConfig, INFTY, full_precision
 
 
 class TrajQP(NamedTuple):
@@ -168,6 +168,7 @@ def _kkt_blocks(P_diag, C, Cp, rho_r, rho_b, sigma, s_b=None):
     return D, L
 
 
+@full_precision
 def solve_traj_box_qp(
     qp: TrajQP,
     config: ADMMConfig = ADMMConfig(),

@@ -50,6 +50,9 @@ def parse_arguments(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--platform", default=None,
                         help="JAX platform to pin (e.g. cpu); default inherits.")
+    parser.add_argument("--retries", type=int, default=1,
+                        help="Re-run a cell on transient backend failures "
+                             "(remote-TPU tunnels drop requests occasionally).")
     return parser.parse_args(argv)
 
 
@@ -70,6 +73,19 @@ def parse_result_line(line: str) -> Dict[str, str]:
 
 
 def run_example(example: str, args, solver: str, strategy: Optional[str]) -> RunResult:
+    result = _run_example_once(example, args, solver, strategy)
+    # "exit N" from a backend/tunnel hiccup (FAILED_PRECONDITION etc.) is
+    # transient on remote TPUs; a timeout or "no result line" is not.
+    for _ in range(max(0, args.retries)):
+        if result.status == "ok" or not result.status.startswith("exit"):
+            break
+        if args.verbose:
+            print(f"  retrying {example}/{solver}/{strategy} after {result.status}")
+        result = _run_example_once(example, args, solver, strategy)
+    return result
+
+
+def _run_example_once(example: str, args, solver: str, strategy: Optional[str]) -> RunResult:
     cmd = [sys.executable, "-m", f"multi_agent_solver_tpu.examples.{example}",
            "--solver", solver]
     if strategy is not None:
