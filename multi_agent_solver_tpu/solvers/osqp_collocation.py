@@ -42,7 +42,7 @@ from ..ocp import OCPSpec
 from ..types import Array, SolverParams, get_param, param_flag
 from .admm_qp import ADMMConfig, INFTY, solve_box_qp
 from .base import SolveResult, SolverBase, register_solver
-from .osqp_shooting import _maybe_deadline
+from .osqp_shooting import _PersistentWorkspaceMixin, _maybe_deadline
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,8 +129,8 @@ def _convexify(diag: Array, reg: float) -> Array:
 
 
 def _solve_osqp_collocation_structured(
-    spec: OCPSpec, config: OSQPCollocationConfig
-) -> SolveResult:
+    spec: OCPSpec, config: OSQPCollocationConfig, qp_warm=None
+):
     """Structured-QP variant: stage blocks s_k = [dx_k, du_k] (k = 0..T;
     dx_0 and du_T are pinned pads), trapezoidal row t coupling s_t and
     s_{t+1} -- identical QP to the dense path, block-tridiagonal KKT."""
@@ -156,16 +156,23 @@ def _solve_osqp_collocation_structured(
 
     def assemble(xs, us):
         # Gradient / diagonal Hessian stage blocks (osqp_collocation.hpp:246-340).
-        g_x_mid = jax.vmap(lambda t, ui: d.lx(xs[t], us[ui], t))(ts_mid, u_mid_idx)
+        # Cost derivative oracles forward any extra context slice unchanged
+        # (inter-agent coupling enters through these stacks exactly as in the
+        # iLQR stage expansion, ilqr.py:168).
+        def stage_args(t, ui):
+            base = (xs[t], us[ui], t)
+            return base if spec.context is None else base + (spec.context[t],)
+
+        g_x_mid = jax.vmap(lambda t, ui: d.lx(*stage_args(t, ui)))(ts_mid, u_mid_idx)
         g_term = d.phix(xs[T])
-        g_u = jax.vmap(lambda t: d.lu(xs[t], us[t], t))(ts)
+        g_u = jax.vmap(lambda t: d.lu(*stage_args(t, t)))(ts)
         q_x = jnp.concatenate([jnp.zeros((1, nx), dtype), g_x_mid, g_term[None]], axis=0)
         q_u = jnp.concatenate([g_u, jnp.zeros((1, nu), dtype)], axis=0)
         q = jnp.concatenate([q_x, q_u], axis=1)
 
-        Q_mid = jax.vmap(lambda t, ui: jnp.diagonal(d.lxx(xs[t], us[ui], t)))(ts_mid, u_mid_idx)
+        Q_mid = jax.vmap(lambda t, ui: jnp.diagonal(d.lxx(*stage_args(t, ui))))(ts_mid, u_mid_idx)
         Q_term = jnp.diagonal(d.phixx(xs[T]))
-        R_all = jax.vmap(lambda t: jnp.diagonal(d.luu(xs[t], us[t], t)))(ts)
+        R_all = jax.vmap(lambda t: jnp.diagonal(d.luu(*stage_args(t, t))))(ts)
         P_x = jnp.concatenate(
             [jnp.ones((1, nx), dtype), _convexify(Q_mid, config.reg),
              _convexify(Q_term, config.reg)[None]],
@@ -240,23 +247,39 @@ def _solve_osqp_collocation_structured(
         timed_out = _maybe_deadline(config)
         return (xs, us, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done, timed_out)
 
+    if qp_warm is None:
+        qp_warm = (
+            jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
+            jnp.zeros((N, nb), dtype),
+        )
     init = (
-        xs0, us0,
-        jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
-        jnp.zeros((N, nb), dtype),
+        xs0, us0, *qp_warm,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(False),
     )
-    xs, us, _, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
+    xs, us, w, y_r, y_b, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     cost = spec.cost(xs, us)   # osqp_collocation.hpp:503
-    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    result = SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    return result, (w, y_r, y_b)
+
+
+def solve_osqp_collocation_warm(
+    spec: OCPSpec, config: OSQPCollocationConfig, qp_warm=None
+):
+    """Solve and also return the final QP primal/dual state (persistent
+    workspace analogue, osqp.hpp:90-110 / osqp_collocation.hpp:455-463)."""
+    if config.backend == "structured":
+        return _solve_osqp_collocation_structured(spec, config, qp_warm)
+    return _solve_osqp_collocation_dense(spec, config, qp_warm)
 
 
 def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> SolveResult:
-    if spec.context is not None:
-        raise NotImplementedError("context costs are not supported by the QP solvers")
-    if config.backend == "structured":
-        return _solve_osqp_collocation_structured(spec, config)
+    return solve_osqp_collocation_warm(spec, config)[0]
+
+
+def _solve_osqp_collocation_dense(
+    spec: OCPSpec, config: OSQPCollocationConfig, qp_warm=None
+):
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     dt = spec.dt
@@ -280,16 +303,21 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
     u_mid_idx = jnp.minimum(ts_mid, T - 1)
 
     def assemble(xs, us):
+        # Cost oracles forward any context slice unchanged (see ilqr.py:168).
+        def stage_args(t, ui):
+            base = (xs[t], us[ui], t)
+            return base if spec.context is None else base + (spec.context[t],)
+
         # Gradient (osqp_collocation.hpp:246-253).
-        g_x_mid = jax.vmap(lambda t, ui: d.lx(xs[t], us[ui], t))(ts_mid, u_mid_idx)  # [T-1, nx]
+        g_x_mid = jax.vmap(lambda t, ui: d.lx(*stage_args(t, ui)))(ts_mid, u_mid_idx)  # [T-1, nx]
         g_term = d.phix(xs[T])
-        g_u = jax.vmap(lambda t: d.lu(xs[t], us[t], t))(ts)                          # [T, nu]
+        g_u = jax.vmap(lambda t: d.lu(*stage_args(t, t)))(ts)                          # [T, nu]
         q = jnp.concatenate([g_x_mid.reshape(-1), g_term, g_u.reshape(-1)])
 
         # Diagonal Hessians with convexification (osqp_collocation.hpp:260-336).
-        Q_mid = jax.vmap(lambda t, ui: jnp.diagonal(d.lxx(xs[t], us[ui], t)))(ts_mid, u_mid_idx)
+        Q_mid = jax.vmap(lambda t, ui: jnp.diagonal(d.lxx(*stage_args(t, ui))))(ts_mid, u_mid_idx)
         Q_term = jnp.diagonal(d.phixx(xs[T]))
-        R_all = jax.vmap(lambda t: jnp.diagonal(d.luu(xs[t], us[t], t)))(ts)
+        R_all = jax.vmap(lambda t: jnp.diagonal(d.luu(*stage_args(t, t))))(ts)
         P_diag = jnp.concatenate([
             _convexify(Q_mid, config.reg).reshape(-1),
             _convexify(Q_term, config.reg),
@@ -370,21 +398,24 @@ def solve_osqp_collocation(spec: OCPSpec, config: OSQPCollocationConfig) -> Solv
         timed_out = _maybe_deadline(config)
         return (xs, us, qp.x, qp.y, qp.iterations, it + 1, done, timed_out)
 
+    if qp_warm is None:
+        qp_warm = (jnp.zeros((n,), dtype), jnp.zeros((m,), dtype))
     init = (
-        xs0, us0,
-        jnp.zeros((n,), dtype), jnp.zeros((m,), dtype),
+        xs0, us0, *qp_warm,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(False),
     )
-    xs, us, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
+    xs, us, x_qp, y_qp, _, it, done, _ = jax.lax.while_loop(cond, body, init)
     cost = spec.cost(xs, us)   # osqp_collocation.hpp:503
-    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    result = SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    return result, (x_qp, y_qp)
 
 
 @register_solver
-class OSQPCollocation(SolverBase):
+class OSQPCollocation(_PersistentWorkspaceMixin, SolverBase):
     """Host-side collocation SQP with the reference's API surface."""
 
     name = "osqp_collocation"
     config_cls = OSQPCollocationConfig
     _solve_fn = staticmethod(solve_osqp_collocation)
+    _warm_solve_fn = staticmethod(solve_osqp_collocation_warm)

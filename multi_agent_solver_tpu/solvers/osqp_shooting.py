@@ -63,6 +63,15 @@ class OSQPShootingConfig:
     # 'dense': materialized constraint matrix + dense Cholesky KKT
     # (admm_qp.py) -- same answers (tests/test_qp_parity.py), O((T nb)^3).
     backend: str = "structured"
+    # Exact delta-form Gauss-Newton QP (param ``sqp_exact``): expand around
+    # the CURRENT rollout with discrete RK4 Jacobians and delta bounds,
+    # instead of the reference's absolute-variable QP with homogeneous
+    # continuous-Jacobian rows and an uncentered gradient (osqp.hpp:344-361).
+    # The reference model cannot descend from an interior optimum of the
+    # base cost (its q addresses absolute coordinates, not steps), so this
+    # mode auto-enables for context/coupled solves, which are beyond the
+    # reference and carry no parity obligation.
+    exact: bool = False
     max_ms: float = 0.0            # host deadline (osqp.hpp:122-132); opt-in
     enforce_max_ms: bool = False
     debug: bool = False
@@ -73,6 +82,7 @@ class OSQPShootingConfig:
             max_iterations=int(get_param(params, "max_iterations")),
             tolerance=get_param(params, "tolerance"),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
+            exact=param_flag(params, "sqp_exact"),
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -108,8 +118,8 @@ def _shooting_indices(T: int, nx: int, nu: int):
 
 
 def _solve_osqp_shooting_structured(
-    spec: OCPSpec, config: OSQPShootingConfig
-) -> SolveResult:
+    spec: OCPSpec, config: OSQPShootingConfig, qp_warm=None
+):
     """Structured-QP variant: stage blocks w_t = [x_t, u_t] (w_T pads u),
     dynamics rows C_t w_t + Cp_t w_{t+1} with C_t = [-A_t | -B_t],
     Cp_t = [I | 0] -- the same QP as the dense path, block-tridiagonal KKT."""
@@ -120,6 +130,8 @@ def _solve_osqp_shooting_structured(
     d = spec.derivs
     nb = nx + nu
     N = T + 1
+
+    exact = config.exact or spec.context is not None
 
     qp_config = ADMMConfig(
         max_iterations=config.qp_max_iterations,
@@ -132,14 +144,14 @@ def _solve_osqp_shooting_structured(
         col = jnp.full((dim,), default, dtype) if bound is None else bound
         return jnp.broadcast_to(col, (N, dim))
 
-    z_lb = jnp.concatenate(
+    z_lb_abs = jnp.concatenate(
         [
             stage_bounds(spec.state_lower_bounds, -INFTY, nx),
             stage_bounds(spec.input_lower_bounds, -INFTY, nu),
         ],
         axis=1,
     )
-    z_ub = jnp.concatenate(
+    z_ub_abs = jnp.concatenate(
         [
             stage_bounds(spec.state_upper_bounds, INFTY, nx),
             stage_bounds(spec.input_upper_bounds, INFTY, nu),
@@ -147,8 +159,8 @@ def _solve_osqp_shooting_structured(
         axis=1,
     )
     # Pin the nonexistent u_T pad slots.
-    z_lb = z_lb.at[T, nx:].set(0.0)
-    z_ub = z_ub.at[T, nx:].set(0.0)
+    z_lb_abs = z_lb_abs.at[T, nx:].set(0.0)
+    z_ub_abs = z_ub_abs.at[T, nx:].set(0.0)
 
     r_bounds = jnp.zeros((T, nx), dtype)           # lb = ub = 0 dyn rows
     eye_pad = jnp.concatenate(
@@ -157,9 +169,13 @@ def _solve_osqp_shooting_structured(
 
     def assemble(xs, us):
         x, u = xs[:-1], us
-        Q_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.lxx(a, b, t)))(x, u, ts)
+        # Cost derivative oracles forward any extra context argument unchanged
+        # (inter-agent coupling enters the QP through these Hessian/gradient
+        # stacks exactly as it enters the iLQR stage expansion, ilqr.py:168).
+        cost_args = (x, u, ts) if spec.context is None else (x, u, ts, spec.context)
+        Q_diag = jax.vmap(lambda *a: jnp.diagonal(d.lxx(*a)))(*cost_args)
         QT_diag = jnp.diagonal(d.phixx(xs[-1]))
-        R_diag = jax.vmap(lambda a, b, t: jnp.diagonal(d.luu(a, b, t)))(x, u, ts)
+        R_diag = jax.vmap(lambda *a: jnp.diagonal(d.luu(*a)))(*cost_args)
         P_stage = jnp.concatenate(
             [
                 jnp.maximum(Q_diag, config.hessian_floor),
@@ -173,16 +189,37 @@ def _solve_osqp_shooting_structured(
         P_diag = jnp.concatenate([P_stage, P_term[None]], axis=0)
 
         q_stage = jnp.concatenate(
-            [jax.vmap(d.lx)(x, u, ts), jax.vmap(d.lu)(x, u, ts)], axis=1
+            [jax.vmap(d.lx)(*cost_args), jax.vmap(d.lu)(*cost_args)], axis=1
         )
         q_term = jnp.concatenate([d.phix(xs[-1]), jnp.zeros((nu,), dtype)])
         q = jnp.concatenate([q_stage, q_term[None]], axis=0)
 
-        A_t = jax.vmap(d.fx)(x, u)   # continuous Jacobians (parity, osqp.hpp:351)
-        B_t = jax.vmap(d.fu)(x, u)
+        if exact:
+            # Delta-form Gauss-Newton model: rows delta_x_{t+1} =
+            # A_d delta_x_t + B_d delta_u_t with exact discrete (RK4)
+            # Jacobians; the defect is zero because xs IS a rollout of us.
+            A_t = jax.vmap(d.step_fx)(x, u)
+            B_t = jax.vmap(d.step_fu)(x, u)
+        else:
+            A_t = jax.vmap(d.fx)(x, u)   # continuous Jacobians (parity, osqp.hpp:351)
+            B_t = jax.vmap(d.fu)(x, u)
         C = jnp.concatenate([-A_t, -B_t], axis=2)              # [T, nx, nb]
         Cp = jnp.broadcast_to(eye_pad, (T, nx, nb))
+        if exact:
+            # Delta-form box bounds around the current trajectory; the free
+            # initial state delta is pinned (x_0 is given, osqp.hpp leaves
+            # the absolute x_0 merely box-bounded).
+            w_ref = jnp.concatenate(
+                [xs, jnp.concatenate([us, jnp.zeros((1, nu), dtype)])], axis=1
+            )
+            z_lb = (z_lb_abs - w_ref).at[0, :nx].set(0.0).at[T, nx:].set(0.0)
+            z_ub = (z_ub_abs - w_ref).at[0, :nx].set(0.0).at[T, nx:].set(0.0)
+        else:
+            z_lb, z_ub = z_lb_abs, z_ub_abs
         return TrajQP(P_diag, q, C, Cp, r_bounds, r_bounds, z_lb, z_ub)
+
+    # Context-aware true objective for the line search / acceptance tests.
+    objective = spec.objective_function if spec.context is None else spec.cost
 
     us0 = spec.initial_controls
     xs0 = spec.rollout(us0)
@@ -196,10 +233,10 @@ def _solve_osqp_shooting_structured(
         qp = solve_traj_box_qp(
             assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
         )
-        u_candidate = qp.w[:T, nx:]
+        u_candidate = us + qp.w[:T, nx:] if exact else qp.w[:T, nx:]
         d_u = us - u_candidate                     # osqp.hpp:168
         alpha = armijo_line_search(
-            spec.initial_state, us, d_u, spec.dynamics, spec.objective_function, spec.dt
+            spec.initial_state, us, d_u, spec.dynamics, objective, spec.dt
         )
         u_new = us - alpha * d_u
         xs_new = spec.rollout(u_new)
@@ -217,22 +254,39 @@ def _solve_osqp_shooting_structured(
         return (xs, us, cost, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done,
                 timed_out)
 
+    if qp_warm is None:
+        qp_warm = (
+            jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
+            jnp.zeros((N, nb), dtype),
+        )
     init = (
-        xs0, us0, cost0,
-        jnp.zeros((N, nb), dtype), jnp.zeros((T, nx), dtype),
-        jnp.zeros((N, nb), dtype),
+        xs0, us0, cost0, *qp_warm,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(False),
     )
-    xs, us, cost, _, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
-    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    xs, us, cost, w, y_r, y_b, _, it, done, _ = jax.lax.while_loop(cond, body, init)
+    result = SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    return result, (w, y_r, y_b)
+
+
+def solve_osqp_shooting_warm(spec: OCPSpec, config: OSQPShootingConfig, qp_warm=None):
+    """Solve and also return the final QP primal/dual state.
+
+    The TPU analogue of the reference's persistent OSQP workspace
+    (osqp.hpp:90-110): repeated ``solve()`` calls on a same-shaped problem
+    (MPC shifts, Nash sweeps) pass the previous solve's QP state back in so
+    the first SQP iteration's ADMM starts at (near-)optimal duals.
+    """
+    if config.backend == "structured" or config.exact or spec.context is not None:
+        return _solve_osqp_shooting_structured(spec, config, qp_warm)
+    return _solve_osqp_shooting_dense(spec, config, qp_warm)
 
 
 def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResult:
-    if spec.context is not None:
-        raise NotImplementedError("context costs are not supported by the QP solvers")
-    if config.backend == "structured":
-        return _solve_osqp_shooting_structured(spec, config)
+    return solve_osqp_shooting_warm(spec, config)[0]
+
+
+def _solve_osqp_shooting_dense(spec: OCPSpec, config: OSQPShootingConfig, qp_warm=None):
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
     d = spec.derivs
@@ -290,6 +344,9 @@ def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResul
         A_mat = A_base.at[rows_A, cols_A].add(-A_t).at[rows_B, cols_B].add(-B_t)
         return P_diag, q, A_mat
 
+    # Context-aware true objective for the line search / acceptance tests.
+    objective = spec.objective_function if spec.context is None else spec.cost
+
     us0 = spec.initial_controls
     xs0 = spec.rollout(us0)
     cost0 = spec.cost(xs0, us0)
@@ -305,7 +362,7 @@ def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResul
         u_candidate = qp.x[(T + 1) * nx:].reshape(T, nu)
         d_u = us - u_candidate                     # osqp.hpp:168
         alpha = armijo_line_search(
-            spec.initial_state, us, d_u, spec.dynamics, spec.objective_function, spec.dt
+            spec.initial_state, us, d_u, spec.dynamics, objective, spec.dt
         )
         u_new = us - alpha * d_u
         xs_new = spec.rollout(u_new)
@@ -322,20 +379,61 @@ def solve_osqp_shooting(spec: OCPSpec, config: OSQPShootingConfig) -> SolveResul
         timed_out = _maybe_deadline(config)
         return (xs, us, cost, qp.x, qp.y, qp.iterations, it + 1, done, timed_out)
 
+    if qp_warm is None:
+        qp_warm = (jnp.zeros((n,), dtype), jnp.zeros((m,), dtype))
     init = (
-        xs0, us0, cost0,
-        jnp.zeros((n,), dtype), jnp.zeros((m,), dtype),
+        xs0, us0, cost0, *qp_warm,
         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(False),
     )
-    xs, us, cost, _, _, _, it, done, _ = jax.lax.while_loop(cond, body, init)
-    return SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    xs, us, cost, x_qp, y_qp, _, it, done, _ = jax.lax.while_loop(cond, body, init)
+    result = SolveResult(states=xs, controls=us, cost=cost, iterations=it, converged=done)
+    return result, (x_qp, y_qp)
+
+
+class _PersistentWorkspaceMixin:
+    """Carry the QP primal/dual state across ``solve()`` calls.
+
+    Reference semantics (osqp.hpp:90-110): the OSQP workspace persists on the
+    solver object and warm-starts the next solve whenever the problem shapes
+    are unchanged; any shape/param change rebuilds it from scratch.
+    """
+
+    _warm_solve_fn = None   # staticmethod(fn(spec, config, qp_warm))
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self._qp_state = None
+
+    def set_params(self, params) -> None:
+        super().set_params(params)
+        self._qp_state = None
+
+    def solve_spec(self, spec: OCPSpec) -> SolveResult:
+        sig = (
+            spec.horizon_steps, spec.state_dim, spec.control_dim,
+            str(spec.initial_state.dtype), self.config,
+        )
+        warm = None
+        if self._qp_state is not None and self._qp_state[0] == sig:
+            warm = self._qp_state[1]
+        key = (self.config, warm is None)
+        fn = self._jitted.get(key)
+        if fn is None:
+            fn = jax.jit(
+                lambda s, qw: type(self)._warm_solve_fn(s, self.config, qw)
+            )
+            self._jitted[key] = fn
+        result, state = fn(spec, warm)
+        self._qp_state = (sig, state)
+        return result
 
 
 @register_solver
-class OSQP(SolverBase):
+class OSQP(_PersistentWorkspaceMixin, SolverBase):
     """Host-side shooting SQP with the reference's API surface."""
 
     name = "osqp"
     config_cls = OSQPShootingConfig
     _solve_fn = staticmethod(solve_osqp_shooting)
+    _warm_solve_fn = staticmethod(solve_osqp_shooting_warm)

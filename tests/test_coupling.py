@@ -87,6 +87,23 @@ class TestCoupledNash:
         sol = solve_multi_agent(strategy, problem)
         assert _min_distance(sol) > 1.2, f"min distance {_min_distance(sol)}"
 
+    def test_coupled_osqp_shooting_avoids_collision(self):
+        """The QP solver family accepts context costs (round-2): coupling
+        enters the shooting SQP through the cost-derivative stacks."""
+        problem = _head_on_problem(coupled=True)
+        strategy = make_strategy("sequential", make_solver("osqp"), PARAMS, 6)
+        sol = solve_multi_agent(strategy, problem)
+        assert _min_distance(sol) > 1.2, f"min distance {_min_distance(sol)}"
+
+    def test_coupled_osqp_collocation_avoids_collision(self):
+        problem = _head_on_problem(coupled=True)
+        strategy = make_strategy(
+            "sequential", make_solver("osqp_collocation"),
+            {**PARAMS, "step_limit": 5.0}, 6,
+        )
+        sol = solve_multi_agent(strategy, problem)
+        assert _min_distance(sol) > 1.2, f"min distance {_min_distance(sol)}"
+
     def test_knn_coupling_matches_all_pairs_for_two_agents(self):
         """coupling_neighbors=1 on a 2-agent game IS all-pairs coupling."""
         p_all = _head_on_problem(coupled=True)
