@@ -89,6 +89,13 @@ class ILQRConfig:
     # box-constrained QP exactly (ops/boxqp.py) and zeroes feedback rows of
     # clamped dims; escapes the bound-corner stalls the clamp can hit.
     bound_mode: str = "clamp"
+    # User declaration that the stage/terminal costs are quadratic in (x, u)
+    # (for a fixed context): their Hessian stacks lxx/luu/lux/phixx are then
+    # trajectory-independent, so they are evaluated ONCE before the outer
+    # loop instead of per iteration.  Exact for quadratic costs; for
+    # non-quadratic costs this silently becomes a fixed-metric Gauss-Newton
+    # variant -- the flag is the user's assertion, not checked.
+    quadratic_cost: bool = False
     debug: bool = False
 
     @classmethod
@@ -108,6 +115,7 @@ class ILQRConfig:
                 "continuous" if param_flag(params, "continuous_jacobians") else "discrete"
             ),
             bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
+            quadratic_cost=param_flag(params, "quadratic_cost"),
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -153,8 +161,14 @@ def compute_merit(
     return merit
 
 
-def _linearize(spec: OCPSpec, config: "ILQRConfig", xs: Array, us: Array):
-    """Stage-wise derivatives for the whole horizon in batched launches."""
+def _linearize(
+    spec: OCPSpec, config: "ILQRConfig", xs: Array, us: Array, hess=None
+):
+    """Stage-wise derivatives for the whole horizon in batched launches.
+
+    ``hess``: optional precomputed ``(lxx, luu, lux)`` stacks (quadratic-cost
+    hoisting, see :func:`_cost_hessians`) -- skips their per-iteration AD.
+    """
     d = spec.derivs
     ts = jnp.arange(spec.horizon_steps)
     x, u = xs[:-1], us
@@ -168,10 +182,29 @@ def _linearize(spec: OCPSpec, config: "ILQRConfig", xs: Array, us: Array):
     cost_args = (x, u, ts) if spec.context is None else (x, u, ts, spec.context)
     lx = jax.vmap(d.lx)(*cost_args)     # [T, nx]
     lu = jax.vmap(d.lu)(*cost_args)     # [T, nu]
-    lxx = jax.vmap(d.lxx)(*cost_args)   # [T, nx, nx]
-    luu = jax.vmap(d.luu)(*cost_args)   # [T, nu, nu]
-    lux = jax.vmap(d.lux)(*cost_args)   # [T, nu, nx]
+    if hess is not None:
+        lxx, luu, lux = hess
+    else:
+        lxx = jax.vmap(d.lxx)(*cost_args)   # [T, nx, nx]
+        luu = jax.vmap(d.luu)(*cost_args)   # [T, nu, nu]
+        lux = jax.vmap(d.lux)(*cost_args)   # [T, nu, nx]
     return A, B, lx, lu, lxx, luu, lux
+
+
+def _cost_hessians(spec: OCPSpec, xs: Array, us: Array):
+    """One-shot stage-cost Hessian stacks ``(lxx, luu, lux)`` plus the
+    symmetrized terminal ``phixx`` at a nominal trajectory (quadratic-cost
+    hoisting: for quadratic costs these are trajectory-independent)."""
+    d = spec.derivs
+    ts = jnp.arange(spec.horizon_steps)
+    x, u = xs[:-1], us
+    cost_args = (x, u, ts) if spec.context is None else (x, u, ts, spec.context)
+    lxx = jax.vmap(d.lxx)(*cost_args)
+    luu = jax.vmap(d.luu)(*cost_args)
+    lux = jax.vmap(d.lux)(*cost_args)
+    phixx = d.phixx(xs[-1])
+    phixx = 0.5 * (phixx + phixx.T)
+    return (lxx, luu, lux), phixx
 
 
 def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho):
@@ -209,7 +242,9 @@ def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mul
     return lx, lu, lxx, luu, lux
 
 
-def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None):
+def _backward_pass(
+    spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None, phixx_const=None
+):
     """Riccati recursion as a reverse scan (reference loop: ilqr.hpp:104-193).
 
     With ``config.bound_mode == 'boxqp'`` (and input bounds present), each
@@ -224,8 +259,11 @@ def _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None):
         and us is not None
     )
     v_x = spec.derivs.phix(xs[-1])
-    v_xx = spec.derivs.phixx(xs[-1])
-    v_xx = 0.5 * (v_xx + v_xx.T)  # ilqr.hpp:102
+    if phixx_const is not None:
+        v_xx = phixx_const
+    else:
+        v_xx = spec.derivs.phixx(xs[-1])
+        v_xx = 0.5 * (v_xx + v_xx.T)  # ilqr.hpp:102
 
     scan_inputs = (A, B, lx, lu, lxx, luu, lux)
     if use_boxqp:
@@ -330,6 +368,11 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
     rho0 = jnp.asarray(config.penalty, dtype)
     merit0 = compute_merit(spec, config, xs0, us0, eq_mult0, ineq_mult0, rho0)
 
+    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop.
+    hess0 = phixx0 = None
+    if config.quadratic_cost:
+        hess0, phixx0 = _cost_hessians(spec, xs0, us0)
+
     def cond(state):
         it, converged, timed_out = state[7], state[8], state[11]
         return (it < config.max_iterations) & ~converged & ~timed_out
@@ -341,11 +384,13 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         # docstring: fixes the reference's stale-merit deadlock).
         merit = compute_merit(spec, config, xs, us, eq_mult, ineq_mult, rho)
 
-        A, B, lx, lu, lxx, luu, lux = _linearize(spec, config, xs, us)
+        A, B, lx, lu, lxx, luu, lux = _linearize(spec, config, xs, us, hess0)
         lx, lu, lxx, luu, lux = _add_al_terms(
             spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho
         )
-        k, K = _backward_pass(spec, config, xs, A, B, lx, lu, lxx, luu, lux, us)
+        k, K = _backward_pass(
+            spec, config, xs, A, B, lx, lu, lxx, luu, lux, us, phixx_const=phixx0
+        )
         xs_new, us_new, merit_new = _forward_pass(
             spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, merit
         )
@@ -413,14 +458,20 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
     )
 
 
-def _batched_backward_pallas(specs: OCPSpec, config: ILQRConfig, xs, us, al_terms, interpret: bool):
+def _batched_backward_pallas(
+    specs: OCPSpec, config: ILQRConfig, xs, us, al_terms, interpret: bool,
+    phixx_const=None,
+):
     """Backward pass for the whole batch via the fused Pallas kernel."""
     from ..ops.riccati_pallas import riccati_backward_pallas
 
     A, Bm, lx, lu, lxx, luu, lux = al_terms
     phix = jax.vmap(lambda s, xT: s.derivs.phix(xT))(specs, xs[:, -1])
-    phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
-    phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
+    if phixx_const is not None:
+        phixx = phixx_const
+    else:
+        phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
+        phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
     k, K = riccati_backward_pallas(
         A, Bm, lx, lu, lxx, luu, lux, phix, phixx,
         reg_init=config.reg_init, reg_factor=config.reg_factor,
@@ -504,6 +555,11 @@ def solve_ilqr_batched(
         lambda s, x, u, e, i, r: compute_merit(s, config, x, u, e, i, r)
     )(specs, xs0, us0, eq_mult0, ineq_mult0, rho0)
 
+    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop.
+    hess0 = phixx0 = None
+    if config.quadratic_cost:
+        hess0, phixx0 = jax.vmap(_cost_hessians)(specs, xs0, us0)
+
     def mask(new, old, active):
         """Per-problem freeze: keep old state for converged lanes."""
         expand = active.reshape((B,) + (1,) * (new.ndim - 1))
@@ -537,8 +593,8 @@ def solve_ilqr_batched(
             )
         else:
             A, Bm, lx, lu, lxx, luu, lux = jax.vmap(
-                lambda s, x, u: _linearize(s, config, x, u)
-            )(specs, xs, us)
+                lambda s, x, u, h: _linearize(s, config, x, u, h)
+            )(specs, xs, us, hess0)
         lx, lu, lxx, luu, lux = jax.vmap(
             lambda s, x, u, a, b, c, d, e, em, im, r: _add_al_terms(
                 s, config, x, u, a, b, c, d, e, em, im, r
@@ -547,7 +603,8 @@ def solve_ilqr_batched(
 
         if backward == "pallas":
             k, K = _batched_backward_pallas(
-                specs, config, xs, us, (A, Bm, lx, lu, lxx, luu, lux), interpret
+                specs, config, xs, us, (A, Bm, lx, lu, lxx, luu, lux), interpret,
+                phixx_const=phixx0,
             )
         elif backward == "assoc":
             # Time-parallel backward pass (ops/riccati_assoc.py): O(log T)
@@ -556,17 +613,20 @@ def solve_ilqr_batched(
             from ..ops.riccati_assoc import riccati_backward_assoc
 
             phix = jax.vmap(lambda s, xT: s.derivs.phix(xT))(specs, xs[:, -1])
-            phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
-            phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
+            if phixx0 is not None:
+                phixx = phixx0
+            else:
+                phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
+                phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
             k, K = riccati_backward_assoc(
                 A, Bm, lx, lu, lxx, luu, lux, phix, phixx, reg=config.reg_init
             )
         else:
             k, K = jax.vmap(
-                lambda s, x, a, b, c, d, e, f, g, u: _backward_pass(
-                    s, config, x, a, b, c, d, e, f, g, u
+                lambda s, x, a, b, c, d, e, f, g, u, p: _backward_pass(
+                    s, config, x, a, b, c, d, e, f, g, u, phixx_const=p
                 )
-            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us)
+            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us, phixx0)
 
         if lane_forward:
             from ..ops.forward_select_pallas import forward_select_pallas
