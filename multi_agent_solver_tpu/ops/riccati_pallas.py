@@ -81,9 +81,82 @@ def _gauss_jordan_solve(Q: List[List[Array]], rhs: List[List[Array]], n: int, m:
     return X
 
 
-def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float]):
-    def kernel(A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
-               vx0_ref, vxx0_ref, k_ref, K_ref, vx_s, vxx_s):
+def _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx):
+    """Exact box-QP gains on lane-valued data (ops/boxqp.py in-kernel).
+
+    Enumerates all 3^nu free/at-lower/at-upper configurations, solves each
+    free subsystem with the unrolled Gauss-Jordan, and selects the first
+    configuration whose KKT conditions hold -- all branch-free lane
+    arithmetic.  Clamped dims get zero feedback rows (control-limited DDP).
+    """
+    import itertools
+
+    FREE, AT_LB, AT_UB = 0, 1, 2
+    zeros = 0.0 * q_u[0]
+    best_k = [zeros for _ in range(nu)]
+    best_K = [[zeros for _ in range(nx)] for _ in range(nu)]
+    found = zeros > 1.0   # all-False lane mask
+
+    for config in itertools.product((FREE, AT_LB, AT_UB), repeat=nu):
+        free = [i for i in range(nu) if config[i] == FREE]
+        clamped = [i for i in range(nu) if config[i] != FREE]
+        v = [lb[i] if config[i] == AT_LB else (ub[i] if config[i] == AT_UB else zeros)
+             for i in range(nu)]
+
+        du = list(v)
+        K = [[zeros for _ in range(nx)] for _ in range(nu)]
+        if free:
+            sub = [[q_uu_reg[i][j] for j in free] for i in free]
+            rhs = [
+                [q_u[i] + sum(q_uu_reg[i][c] * v[c] for c in clamped)]
+                + [q_ux[i][j] for j in range(nx)]
+                for i in free
+            ]
+            sol = _gauss_jordan_solve(sub, rhs, len(free), nx + 1)
+            for pos, i in enumerate(free):
+                du[i] = -sol[pos][0]
+                for j in range(nx):
+                    K[i][j] = -sol[pos][1 + j]
+
+        grad = [q_u[i] + sum(q_uu_reg[i][j] * du[j] for j in range(nu))
+                for i in range(nu)]
+        ok = zeros <= 0.0  # all-True
+        for i in range(nu):
+            if config[i] == FREE:
+                ok = jnp.logical_and(ok, jnp.logical_and(du[i] >= lb[i], du[i] <= ub[i]))
+            elif config[i] == AT_LB:
+                ok = jnp.logical_and(ok, grad[i] >= 0.0)
+            else:
+                ok = jnp.logical_and(ok, grad[i] <= 0.0)
+
+        take = jnp.logical_and(ok, jnp.logical_not(found))
+        for i in range(nu):
+            best_k[i] = jnp.where(take, du[i], best_k[i])
+            for j in range(nx):
+                best_K[i][j] = jnp.where(take, K[i][j], best_K[i][j])
+        found = jnp.logical_or(found, ok)
+
+    # Degenerate fallback (mirrors ops/boxqp.py:102-107): unconstrained
+    # Newton step clipped to the box, full feedback.
+    rhs = [[q_u[i]] + [q_ux[i][j] for j in range(nx)] for i in range(nu)]
+    sol = _gauss_jordan_solve(q_uu_reg, rhs, nu, nx + 1)
+    for i in range(nu):
+        unc = jnp.clip(-sol[i][0], lb[i], ub[i])
+        best_k[i] = jnp.where(found, best_k[i], unc)
+        for j in range(nx):
+            best_K[i][j] = jnp.where(found, best_K[i][j], -sol[i][1 + j])
+    return best_k, best_K
+
+
+def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
+                 boxqp: bool = False):
+    def kernel(*refs):
+        if boxqp:
+            (A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+             lb_ref, ub_ref, vx0_ref, vxx0_ref, k_ref, K_ref, vx_s, vxx_s) = refs
+        else:
+            (A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
+             vx0_ref, vxx0_ref, k_ref, K_ref, vx_s, vxx_s) = refs
         t_idx = pl.program_id(1)
 
         @pl.when(t_idx == 0)
@@ -133,11 +206,17 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float]):
         q_uu_reg = [[q_uu[i][j] + (best if i == j else 0.0) for j in range(nu)]
                     for i in range(nu)]
 
-        # Solve for gains: [k | K] = q_uu_reg^{-1} [q_u | q_ux].
-        rhs = [[q_u[i]] + [q_ux[i][j] for j in range(nx)] for i in range(nu)]
-        sol = _gauss_jordan_solve(q_uu_reg, rhs, nu, nx + 1)
-        k_t = [-sol[i][0] for i in range(nu)]
-        K_t = [[-sol[i][1 + j] for j in range(nx)] for i in range(nu)]
+        if boxqp:
+            # Exact box-constrained gains (control-limited DDP) on the lanes.
+            lb = [lb_ref[0, 0, i] for i in range(nu)]
+            ub = [ub_ref[0, 0, i] for i in range(nu)]
+            k_t, K_t = _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx)
+        else:
+            # Solve for gains: [k | K] = q_uu_reg^{-1} [q_u | q_ux].
+            rhs = [[q_u[i]] + [q_ux[i][j] for j in range(nx)] for i in range(nu)]
+            sol = _gauss_jordan_solve(q_uu_reg, rhs, nu, nx + 1)
+            k_t = [-sol[i][0] for i in range(nu)]
+            K_t = [[-sol[i][1 + j] for j in range(nx)] for i in range(nu)]
 
         # Value recursion (ilqr.hpp:188-192).
         q_uu_k = [sum(q_uu[i][j] * k_t[j] for j in range(nu)) for i in range(nu)]
@@ -187,11 +266,19 @@ def riccati_backward_pallas(
     reg_factor: float = 10.0,
     reg_levels: int = 16,
     interpret: bool = False,
+    lb: Array = None,   # [B, T, nu] delta lower bounds -> box-QP gains
+    ub: Array = None,   # [B, T, nu] delta upper bounds
 ):
-    """Batched Riccati backward pass; returns ``k [B, T, nu]``, ``K [B, T, nu, nx]``."""
+    """Batched Riccati backward pass; returns ``k [B, T, nu]``, ``K [B, T, nu, nx]``.
+
+    With ``lb``/``ub`` (delta bounds around the current controls), each
+    stage's gains solve the exact box-constrained QP in-kernel
+    (control-limited DDP) instead of the unconstrained system.
+    """
     B, T, nx, _ = A.shape
     nu = Bm.shape[-1]
     dtype = jnp.float32
+    boxqp = lb is not None
 
     pad = (-B) % TILE
     if pad:
@@ -201,6 +288,8 @@ def riccati_backward_pallas(
         A, Bm, lx, lu, lxx, luu, lux, vx0, vxx0 = map(
             padder, (A, Bm, lx, lu, lxx, luu, lux, vx0, vxx0)
         )
+        if boxqp:
+            lb, ub = padder(lb), padder(ub)
     Bp = B + pad
     nb = Bp // TILE
 
@@ -230,7 +319,7 @@ def riccati_backward_pallas(
         float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
         for j in range(reg_levels)
     )
-    kernel = _make_kernel(T, nx, nu, levels)
+    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp)
 
     rev = lambda b, t: (b, T - 1 - t)
     spec = lambda *inner: pl.BlockSpec(
@@ -244,12 +333,16 @@ def riccati_backward_pallas(
         memory_space=pltpu.VMEM,
     )
 
+    bound_tiles = (to_tiles(lb, (nu,)), to_tiles(ub, (nu,))) if boxqp else ()
+    bound_specs = [spec(nu), spec(nu)] if boxqp else []
+
     k_tiles, K_tiles = pl.pallas_call(
         kernel,
         grid=(nb, T),
         in_specs=[
             spec(nx, nx), spec(nx, nu), spec(nx), spec(nu),
             spec(nx, nx), spec(nu, nu), spec(nu, nx),
+            *bound_specs,
             spec0(nx), spec0(nx, nx),
         ],
         out_specs=[spec(nu), spec(nu, nx)],
@@ -262,7 +355,7 @@ def riccati_backward_pallas(
             pltpu.VMEM((nx, nx, SUB, LANE), dtype),
         ],
         interpret=interpret,
-    )(A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, vx_t, vxx_t)
+    )(A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, *bound_tiles, vx_t, vxx_t)
 
     def from_tiles(x, inner):
         # [nb, T, *inner, 8, 128] -> [B, T, *inner]

@@ -460,7 +460,7 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
 
 def _batched_backward_pallas(
     specs: OCPSpec, config: ILQRConfig, xs, us, al_terms, interpret: bool,
-    phixx_const=None,
+    phixx_const=None, boxqp=False,
 ):
     """Backward pass for the whole batch via the fused Pallas kernel."""
     from ..ops.riccati_pallas import riccati_backward_pallas
@@ -472,10 +472,17 @@ def _batched_backward_pallas(
     else:
         phixx = jax.vmap(lambda s, xT: s.derivs.phixx(xT))(specs, xs[:, -1])
         phixx = 0.5 * (phixx + jnp.swapaxes(phixx, -1, -2))
+    if boxqp:
+        # Delta bounds around the current controls for the in-kernel box QP.
+        lb = specs.input_lower_bounds[:, None, :] - us
+        ub = specs.input_upper_bounds[:, None, :] - us
+    else:
+        lb = ub = None
     k, K = riccati_backward_pallas(
         A, Bm, lx, lu, lxx, luu, lux, phix, phixx,
         reg_init=config.reg_init, reg_factor=config.reg_factor,
         reg_levels=config.reg_levels, interpret=interpret,
+        lb=lb, ub=ub,
     )
     return k.astype(xs.dtype), K.astype(xs.dtype)
 
@@ -499,8 +506,9 @@ def solve_ilqr_batched(
 
     if backward == "auto":
         backward = "pallas" if (nx <= 8 and nu <= 4) else "scan"
-    if config.bound_mode == "boxqp":
-        backward = "scan"   # box-QP gains run in the XLA backward path
+    use_boxqp = config.bound_mode == "boxqp" and specs.has_input_bounds
+    if use_boxqp and backward == "assoc":
+        backward = "scan"   # the time-parallel pass has no box-QP stage solve
     interpret = jax.default_backend() == "cpu"
 
     from ..ops.forward_pallas import (
@@ -604,7 +612,7 @@ def solve_ilqr_batched(
         if backward == "pallas":
             k, K = _batched_backward_pallas(
                 specs, config, xs, us, (A, Bm, lx, lu, lxx, luu, lux), interpret,
-                phixx_const=phixx0,
+                phixx_const=phixx0, boxqp=use_boxqp,
             )
         elif backward == "assoc":
             # Time-parallel backward pass (ops/riccati_assoc.py): O(log T)

@@ -172,3 +172,30 @@ class TestBatchedSolver:
         a = solve_ilqr_batched(specs, config, backward="scan")
         b = solve_ilqr_batched(specs, config, backward="pallas")
         np.testing.assert_allclose(np.array(a.cost), np.array(b.cost), rtol=1e-4)
+
+
+class TestBoxQPKernel:
+    """In-kernel box-constrained gains (control-limited DDP on the fast path)."""
+
+    def test_boxqp_pallas_matches_scan_backward(self):
+        spec = single_track_lane_ocp().spec()
+        config = ILQRConfig(max_iterations=60, tolerance=1e-9, bound_mode="boxqp")
+        specs = jax.vmap(lambda y: spec.replace(
+            initial_state=spec.initial_state.at[1].set(y)
+        ))(jnp.array([0.5, 1.0, 1.5]))
+        a = solve_ilqr_batched(specs, config, backward="scan")
+        b = solve_ilqr_batched(specs, config, backward="pallas")
+        np.testing.assert_allclose(np.array(a.cost), np.array(b.cost), rtol=1e-4)
+        # Bounds hold exactly on the kernel path.
+        U = np.array(b.controls)
+        assert (np.abs(U[..., 0]) <= 0.7 + 1e-5).all()
+        assert (np.abs(U[..., 1]) <= 1.0 + 1e-5).all()
+
+    def test_boxqp_pallas_reaches_constrained_optimum(self):
+        """The kernel path hits the same 176.2785 box-constrained optimum the
+        XLA box-QP backward does (tests/test_ilqr.py:134-146)."""
+        spec = single_track_lane_ocp().spec()
+        config = ILQRConfig(max_iterations=60, tolerance=1e-9, bound_mode="boxqp")
+        specs = jax.tree_util.tree_map(lambda x: jnp.stack([x]), spec)
+        result = solve_ilqr_batched(specs, config, backward="pallas")
+        np.testing.assert_allclose(float(result.cost[0]), 176.27854, rtol=1e-3)
