@@ -40,6 +40,21 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Array
+from .small import inv_small, solve_spd_small
+
+
+def _inv_general_small(M: Array) -> Array:
+    """Closed-form inverse for general n <= 4 matrices.
+
+    ``jnp.linalg.solve`` on tiny batched matrices is ~40x too slow on TPU
+    (round-1 finding, ops/small.py); the combine's ``I + C J`` matrices are
+    nonsingular (product of PSD factors shifted by I) but not symmetric, so
+    route through the adjugate/Schur ``inv_small`` instead of LU.
+    """
+    n = M.shape[-1]
+    if n <= 4:
+        return inv_small(M)
+    return jnp.linalg.inv(M)
 
 
 def _combine(ei, ej):
@@ -48,14 +63,10 @@ def _combine(ei, ej):
     Aj, bj, Cj, etaj, Jj = ej
     nx = Ai.shape[-1]
     eye = jnp.eye(nx, dtype=Ai.dtype)
-    # Batched small solves: X M1 = Y  <=>  X = Y M1^-1 via solve on transpose.
     M1 = eye + Ci @ Jj                       # [..., nx, nx]
     M2 = eye + Jj @ Ci
-    solve_r = lambda Y, M: jnp.swapaxes(
-        jnp.linalg.solve(jnp.swapaxes(M, -1, -2), jnp.swapaxes(Y, -1, -2)), -1, -2
-    )  # Y @ M^-1
-    AjM1 = solve_r(Aj, M1)
-    AiTM2 = solve_r(jnp.swapaxes(Ai, -1, -2), M2)
+    AjM1 = Aj @ _inv_general_small(M1)
+    AiTM2 = jnp.swapaxes(Ai, -1, -2) @ _inv_general_small(M2)
     A = AjM1 @ Ai
     b = (AjM1 @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0] + bj
     C = AjM1 @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
@@ -89,14 +100,16 @@ def riccati_backward_assoc(
     if reg:
         luu = luu + reg * jnp.eye(nu, dtype=dtype)
 
-    # Stage elements with the cross term completed away.
-    RinvM = jnp.linalg.solve(luu, lux)                     # R^-1 M   [B,T,nu,nx]
-    Rinvr = jnp.linalg.solve(luu, lu[..., None])[..., 0]   # R^-1 lu  [B,T,nu]
+    # Stage elements with the cross term completed away.  All small solves
+    # are closed-form (see _inv_general_small): luu is SPD here.
+    Rinv = inv_small(luu)
+    RinvM = Rinv @ lux                                     # R^-1 M   [B,T,nu,nx]
+    Rinvr = (Rinv @ lu[..., None])[..., 0]                 # R^-1 lu  [B,T,nu]
     Abar = A - Bm @ RinvM
     Qbar = lxx - jnp.swapaxes(lux, -1, -2) @ RinvM
     qbar = lx - (jnp.swapaxes(lux, -1, -2) @ Rinvr[..., None])[..., 0]
     b_el = -(Bm @ Rinvr[..., None])[..., 0]
-    C_el = Bm @ jnp.linalg.solve(luu, jnp.swapaxes(Bm, -1, -2))
+    C_el = Bm @ Rinv @ jnp.swapaxes(Bm, -1, -2)
     eta_el = -qbar
     J_el = 0.5 * (Qbar + jnp.swapaxes(Qbar, -1, -2))
 
@@ -127,5 +140,5 @@ def riccati_backward_assoc(
     q_uu = luu + BT @ S_next @ Bm
     q_ux = lux + BT @ S_next @ A
     rhs = jnp.concatenate([q_u[..., None], q_ux], axis=-1)
-    sol = jnp.linalg.solve(q_uu, rhs)
+    sol = solve_spd_small(q_uu, rhs)
     return -sol[..., 0], -sol[..., 1:]
