@@ -54,13 +54,17 @@ def bench(n_agents: int, n_scenarios: int, iters: int = 5):
         result = solve_ilqr_batched(specs, config)
         return result.cost, result.controls
 
+    # Chained distinct inputs + host-fetch sync: repeated identical calls
+    # through the tunnel can be served from a cache without executing
+    # (docs/BENCHMARKS.md "Timing methodology").
     cost, _ = sweep(x0)
-    jax.block_until_ready(cost)
-
+    acc = cost[0] * 1e-12
+    float(acc)
     t0 = time.perf_counter()
     for _ in range(iters):
-        cost, controls = sweep(x0)
-        jax.block_until_ready(cost)
+        cost, controls = sweep(x0 + acc)
+        acc = cost[0] * 1e-12
+    float(acc)
     dt = (time.perf_counter() - t0) / iters
 
     total_agents = n_agents * n_scenarios
