@@ -176,6 +176,100 @@ def _from_lanes(x: Array, L: int):
     return jnp.moveaxis(x, -1, 0)[:L]
 
 
+def forward_select_pallas_tiled(
+    spec,
+    xref_l: Array,     # [nl, T, nx, 8, 128] reference states x_0..x_{T-1}
+    uref_l: Array,     # [nl, T, nu, 8, 128]
+    k_l: Array,        # [nl, T, nu, 8, 128]
+    K_l: Array,        # [nl, T, nu, nx, 8, 128]
+    merit_l: Array,    # [nl, 8, 128] merit to beat (-inf lanes never accept)
+    lb_l: Array,       # [nl, nu, 8, 128] absolute bounds (zeros if unbounded)
+    ub_l: Array,
+    alphas: Tuple[float, ...],
+    interpret: bool = False,
+    ctx_l: Array = None,        # [nl, T, C..., 8, 128]
+    eq_mult_l: Array = None,    # [nl, T, eq_dim, 8, 128]
+    ineq_mult_l: Array = None,
+    rho_l: Array = None,        # [nl, 8, 128]
+    act_tol: float = 1e-6,
+):
+    """Select kernel on pre-tiled lane-layout stacks (the fused-loop entry).
+
+    Returns ``(xs_tail_l [nl, T, nx, 8, 128]`` holding x_1..x_T,
+    ``us_l [nl, T, nu, 8, 128]``, ``merit_new_l [nl, 8, 128]``,
+    ``accept_l [nl, 8, 128]`` (1.0 = accepted)`` -- no layout conversions.
+    """
+    nl, T, nx = xref_l.shape[:3]
+    nu = uref_l.shape[2]
+    A = len(alphas)
+    dtype = jnp.float32
+    has_bounds = spec.has_input_bounds
+    has_context = ctx_l is not None
+    eq_dim = spec.eq_dim if eq_mult_l is not None else 0
+    ineq_dim = spec.ineq_dim if ineq_mult_l is not None else 0
+    ctx_inner = tuple(ctx_l.shape[2:-2]) if has_context else ()
+
+    kernel = _make_kernel(
+        T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
+        spec.dynamics, spec.stage_cost, spec.terminal_cost, has_bounds,
+        has_context,
+        eq_fn=spec.equality_constraints, eq_dim=eq_dim,
+        ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
+        act_tol=act_tol,
+    )
+
+    tmod = lambda t: jnp.where(t >= T, t - T, t)
+    tspec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (SUB, LANE),
+        lambda b, t: (b, tmod(t)) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    cspec = lambda *inner: pl.BlockSpec(
+        (1,) + inner + (SUB, LANE),
+        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    extra_inputs, extra_specs = [], []
+    if has_context:
+        extra_inputs.append(ctx_l.astype(dtype))
+        extra_specs.append(tspec(*ctx_inner))
+    if eq_dim > 0:
+        extra_inputs.append(eq_mult_l.astype(dtype))
+        extra_specs.append(tspec(eq_dim))
+    if ineq_dim > 0:
+        extra_inputs.append(ineq_mult_l.astype(dtype))
+        extra_specs.append(tspec(ineq_dim))
+    if eq_dim > 0 or ineq_dim > 0:
+        extra_inputs.append(rho_l.astype(dtype))
+        extra_specs.append(cspec())
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nl, 2 * T),
+        in_specs=[
+            tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
+            cspec(), cspec(nu), cspec(nu),
+        ] + extra_specs,
+        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, T, nu, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((A, nx, SUB, LANE), dtype),
+            pltpu.VMEM((A, SUB, LANE), dtype),
+            pltpu.VMEM((nx, SUB, LANE), dtype),
+            pltpu.VMEM((SUB, LANE), dtype),
+        ],
+        interpret=interpret,
+    )(xref_l.astype(dtype), uref_l.astype(dtype), k_l.astype(dtype),
+      K_l.astype(dtype), merit_l.astype(dtype), lb_l.astype(dtype),
+      ub_l.astype(dtype), *extra_inputs)
+
+
 def forward_select_pallas(
     spec,
     xs: Array,        # [B, T+1, nx] reference trajectory
@@ -232,76 +326,23 @@ def forward_select_pallas(
     ub_l = _to_lanes(padded(ub), Bp)
 
     has_context = spec.context is not None
-    extra_inputs = []
-    extra_specs = []
-    ctx_inner = ()
-    if has_context:
-        ctx = spec.context                       # [B, T, C...]
-        ctx_inner = tuple(ctx.shape[2:])
-        extra_inputs.append(pack(ctx))
-        # tspec built below once its factory exists; placeholder appended then.
+    ctx_l = pack(spec.context) if has_context else None
 
     eq_dim, ineq_dim = spec.eq_dim, spec.ineq_dim
-    al_inputs = []
-    if eq_dim > 0:
-        al_inputs.append(("t", eq_dim, pack(eq_mult)))
-    if ineq_dim > 0:
-        al_inputs.append(("t", ineq_dim, pack(ineq_mult)))
+    eq_mult_l = pack(eq_mult) if eq_dim > 0 else None
+    ineq_mult_l = pack(ineq_mult) if ineq_dim > 0 else None
+    rho_l = None
     if eq_dim > 0 or ineq_dim > 0:
         rho_p = jnp.concatenate([rho.astype(dtype), jnp.ones((pad,), dtype)]) if pad \
             else rho.astype(dtype)
-        al_inputs.append(("c", 0, _to_lanes(rho_p, Bp)))
-    extra_inputs.extend(arr for _, _, arr in al_inputs)
+        rho_l = _to_lanes(rho_p, Bp)
 
-    nl = Bp // TILE
-    kernel = _make_kernel(
-        T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
-        spec.dynamics, spec.stage_cost, spec.terminal_cost, has_bounds,
-        has_context,
-        eq_fn=spec.equality_constraints, eq_dim=eq_dim,
-        ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
-        act_tol=act_tol,
+    xs_l, us_l, cost_l, accept_l = forward_select_pallas_tiled(
+        spec, xref_l, uref_l, k_l, K_l, merit_l, lb_l, ub_l,
+        alphas, interpret,
+        ctx_l=ctx_l, eq_mult_l=eq_mult_l, ineq_mult_l=ineq_mult_l,
+        rho_l=rho_l, act_tol=act_tol,
     )
-
-    tmod = lambda t: jnp.where(t >= T, t - T, t)
-    tspec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (SUB, LANE),
-        lambda b, t: (b, tmod(t)) + (0,) * len(inner) + (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    cspec = lambda *inner: pl.BlockSpec(
-        (1,) + inner + (SUB, LANE),
-        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-
-    if has_context:
-        extra_specs.append(tspec(*ctx_inner))
-    for kind, dim, _ in al_inputs:
-        extra_specs.append(tspec(dim) if kind == "t" else cspec())
-
-    xs_l, us_l, cost_l, accept_l = pl.pallas_call(
-        kernel,
-        grid=(nl, 2 * T),
-        in_specs=[
-            tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
-            cspec(), cspec(nu), cspec(nu),
-        ] + extra_specs,
-        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, T, nu, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((A, nx, SUB, LANE), dtype),
-            pltpu.VMEM((A, SUB, LANE), dtype),
-            pltpu.VMEM((nx, SUB, LANE), dtype),
-            pltpu.VMEM((SUB, LANE), dtype),
-        ],
-        interpret=interpret,
-    )(xref_l, uref_l, k_l, K_l, merit_l, lb_l, ub_l, *extra_inputs)
 
     xs_tail = _from_lanes(xs_l, B)                   # [B, T, nx]
     us_new = _from_lanes(us_l, B).astype(us.dtype)

@@ -55,6 +55,7 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
         x = x_ref[0]          # [nx, 8, 128]
         u = u_ref[0]          # [nu, 8, 128]
         t = t_ref[0]          # [8, 128] float (cast of the int time index)
+        lanes = jnp.zeros_like(t)   # broadcast helper: scalar costs -> lanes
 
         # Dynamics Jacobians: one jvp per input column.
         for j in range(nx):
@@ -69,11 +70,11 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
         # Cost gradients: jvp of the scalar stage cost.
         def lgrad_x(xx, uu, j):
             _, g = jax.jvp(lambda a: stage_cost(a, uu, t), (xx,), (_basis(nx, j, x),))
-            return g
+            return g + lanes
 
         def lgrad_u(xx, uu, j):
             _, g = jax.jvp(lambda a: stage_cost(xx, a, t), (uu,), (_basis(nu, j, u),))
-            return g
+            return g + lanes
 
         for j in range(nx):
             lx_out[0, j] = lgrad_x(x, u, j)
@@ -86,23 +87,23 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
                 _, h = jax.jvp(
                     lambda a: lgrad_x(a, u, i), (x,), (_basis(nx, j, x),)
                 )
-                lxx_out[0, i, j] = h
+                lxx_out[0, i, j] = h + lanes
                 if i != j:
-                    lxx_out[0, j, i] = h
+                    lxx_out[0, j, i] = h + lanes
         for i in range(nu):
             for j in range(i, nu):
                 _, h = jax.jvp(
                     lambda a: lgrad_u(x, a, i), (u,), (_basis(nu, j, u),)
                 )
-                luu_out[0, i, j] = h
+                luu_out[0, i, j] = h + lanes
                 if i != j:
-                    luu_out[0, j, i] = h
+                    luu_out[0, j, i] = h + lanes
         for i in range(nu):       # lux[i, j] = d^2 l / du_i dx_j
             for j in range(nx):
                 _, h = jax.jvp(
                     lambda a: lgrad_u(a, u, i), (x,), (_basis(nx, j, x),)
                 )
-                lux_out[0, i, j] = h
+                lux_out[0, i, j] = h + lanes
 
     return kernel
 
@@ -117,6 +118,118 @@ def _from_lanes(x: Array, L: int):
     x = jnp.moveaxis(x, 0, -3)
     x = x.reshape(x.shape[:-3] + (-1,))
     return jnp.moveaxis(x, -1, 0)[:L]
+
+
+def linearize_pallas_tiled(
+    spec,
+    xs_stage_l: Array,   # [nb, T, nx, 8, 128] stage states x_0..x_{T-1}, lane layout
+    us_l: Array,         # [nb, T, nu, 8, 128]
+    discrete: bool,
+    interpret: bool = False,
+) -> Tuple[Array, ...]:
+    """Whole-horizon linearization directly in the riccati/select lane layout.
+
+    Same in-kernel forward-mode AD as :func:`linearize_pallas`, but the grid
+    is ``(nb, T)`` with problems on the trailing ``(8, 128)`` lanes -- the
+    SAME layout the fused Riccati kernel consumes -- so the fused iteration
+    loop (solvers/ilqr.py fused path) passes stacks between kernels with
+    zero layout conversions.  Outputs ``(A, B, lx, lu, lxx, luu, lux)``,
+    each ``[nb, T, ..., 8, 128]``.
+    """
+    nb, T, nx = xs_stage_l.shape[:3]
+    nu = us_l.shape[2]
+    kernel = _make_kernel(nx, nu, spec.dt, spec.dynamics, spec.stage_cost, discrete)
+
+    # Reuse the flat kernel body: block index (b, t) feeds one (8, 128) tile.
+    tspec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (SUB, LANE),
+        lambda b, t: (b, t) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def kernel2(x_ref, u_ref, t_ref, *outs):
+        # Adapt refs: _make_kernel indexes [0, ...]; here blocks are [1, 1, ...].
+        class _View:
+            def __init__(self, ref):
+                self.ref = ref
+            def __getitem__(self, idx):
+                return self.ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))]
+            def __setitem__(self, idx, val):
+                # Interpret-mode CPU x64 can promote cost tangents to f64;
+                # the output refs are always f32.
+                val = jnp.asarray(val, jnp.float32)
+                self.ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))] = val
+        kernel(_View(x_ref), _View(u_ref), _View(t_ref), *map(_View, outs))
+
+    t_l = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.float32)[None, :, None, None], (nb, T, SUB, LANE)
+    )
+    outs = pl.pallas_call(
+        kernel2,
+        grid=(nb, T),
+        in_specs=[tspec(nx), tspec(nu), tspec()],
+        out_specs=[
+            tspec(nx, nx), tspec(nx, nu), tspec(nx), tspec(nu),
+            tspec(nx, nx), tspec(nu, nu), tspec(nu, nx),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T, nx, nx, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, nu, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, nx, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nu, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xs_stage_l.astype(jnp.float32), us_l.astype(jnp.float32), t_l)
+    return tuple(outs)
+
+
+def terminal_derivs_tiled(spec, xT_l: Array, interpret: bool = False):
+    """In-kernel terminal cost gradient/Hessian on lane-layout states.
+
+    ``xT_l [nb, nx, 8, 128]`` -> ``(phix [nb, nx, 8, 128],
+    phixx [nb, nx, nx, 8, 128])`` (symmetrized), via the same
+    forward-over-forward jvp machinery as the stage linearizer.
+    """
+    nb, nx = xT_l.shape[:2]
+    terminal = spec.terminal_cost
+
+    def kernel(x_ref, gx_out, hxx_out):
+        x = x_ref[0]
+        lanes = jnp.zeros_like(x[0])   # broadcast helper: scalar costs -> lanes
+
+        def grad_j(xx, j):
+            _, g = jax.jvp(terminal, (xx,), (_basis(nx, j, x),))
+            return jnp.asarray(g + lanes, jnp.float32)
+
+        for j in range(nx):
+            gx_out[0, j] = grad_j(x, j)
+        for i in range(nx):
+            for j in range(i, nx):
+                _, h = jax.jvp(lambda a: grad_j(a, i), (x,), (_basis(nx, j, x),))
+                hxx_out[0, i, j] = jnp.asarray(h + lanes, jnp.float32)
+                if i != j:
+                    hxx_out[0, j, i] = jnp.asarray(h + lanes, jnp.float32)
+
+    cspec = lambda *inner: pl.BlockSpec(
+        (1,) + inner + (SUB, LANE),
+        lambda b: (b,) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    gx, hxx = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[cspec(nx)],
+        out_specs=[cspec(nx), cspec(nx, nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, nx, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, nx, nx, SUB, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xT_l.astype(jnp.float32))
+    return gx, hxx
 
 
 def linearize_pallas(

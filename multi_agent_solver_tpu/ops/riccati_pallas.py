@@ -252,6 +252,80 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
     jax.jit,
     static_argnames=("reg_init", "reg_factor", "reg_levels", "interpret"),
 )
+def riccati_backward_pallas_tiled(
+    A_l: Array,     # [nb, T, nx, nx, 8, 128] lane layout
+    B_l: Array,     # [nb, T, nx, nu, 8, 128]
+    lx_l: Array, lu_l: Array, lxx_l: Array, luu_l: Array, lux_l: Array,
+    vx_l: Array,    # [nb, nx, 8, 128]
+    vxx_l: Array,   # [nb, nx, nx, 8, 128]
+    reg_init: float = 1e-6,
+    reg_factor: float = 10.0,
+    reg_levels: int = 16,
+    interpret: bool = False,
+    lb_l: Array = None,   # [nb, T, nu, 8, 128] delta bounds -> in-kernel box QP
+    ub_l: Array = None,
+):
+    """Riccati kernel on pre-tiled lane-layout stacks (the fused-loop entry).
+
+    Identical kernel to :func:`riccati_backward_pallas` without the
+    tile/untile layout conversions; returns ``k [nb, T, nu, 8, 128]``,
+    ``K [nb, T, nu, nx, 8, 128]``.
+    """
+    nb, T, nx = A_l.shape[:3]
+    nu = B_l.shape[3]
+    dtype = jnp.float32
+    boxqp = lb_l is not None
+
+    levels = tuple(
+        float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
+        for j in range(reg_levels)
+    )
+    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp)
+
+    rev = lambda b, t: (b, T - 1 - t)
+    spec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (SUB, LANE),
+        lambda b, t: rev(b, t) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec0 = lambda *inner: pl.BlockSpec(
+        (1,) + inner + (SUB, LANE),
+        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bound_inputs = (lb_l.astype(dtype), ub_l.astype(dtype)) if boxqp else ()
+    bound_specs = [spec(nu), spec(nu)] if boxqp else []
+
+    inputs = tuple(
+        x.astype(dtype)
+        for x in (A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l)
+    ) + bound_inputs + (vx_l.astype(dtype), vxx_l.astype(dtype))
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, T),
+        in_specs=[
+            spec(nx, nx), spec(nx, nu), spec(nx), spec(nu),
+            spec(nx, nx), spec(nu, nu), spec(nu, nx),
+            *bound_specs,
+            spec0(nx), spec0(nx, nx),
+        ],
+        out_specs=[spec(nu), spec(nu, nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T, nu, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, SUB, LANE), dtype),
+            pltpu.VMEM((nx, nx, SUB, LANE), dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("reg_init", "reg_factor", "reg_levels", "interpret"),
+)
 def riccati_backward_pallas(
     A: Array,      # [B, T, nx, nx] continuous or discrete Jacobians
     Bm: Array,     # [B, T, nx, nu]
@@ -315,47 +389,15 @@ def riccati_backward_pallas(
     vx_t = to_tiles0(vx0)
     vxx_t = to_tiles0(vxx0)
 
-    levels = tuple(
-        float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
-        for j in range(reg_levels)
-    )
-    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp)
-
-    rev = lambda b, t: (b, T - 1 - t)
-    spec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (SUB, LANE),
-        lambda b, t: rev(b, t) + (0,) * len(inner) + (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    spec0 = lambda *inner: pl.BlockSpec(
-        (1,) + inner + (SUB, LANE),
-        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-
     bound_tiles = (to_tiles(lb, (nu,)), to_tiles(ub, (nu,))) if boxqp else ()
-    bound_specs = [spec(nu), spec(nu)] if boxqp else []
 
-    k_tiles, K_tiles = pl.pallas_call(
-        kernel,
-        grid=(nb, T),
-        in_specs=[
-            spec(nx, nx), spec(nx, nu), spec(nx), spec(nu),
-            spec(nx, nx), spec(nu, nu), spec(nu, nx),
-            *bound_specs,
-            spec0(nx), spec0(nx, nx),
-        ],
-        out_specs=[spec(nu), spec(nu, nx)],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T, nu, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((nx, SUB, LANE), dtype),
-            pltpu.VMEM((nx, nx, SUB, LANE), dtype),
-        ],
+    k_tiles, K_tiles = riccati_backward_pallas_tiled(
+        A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, vx_t, vxx_t,
+        reg_init=reg_init, reg_factor=reg_factor, reg_levels=reg_levels,
         interpret=interpret,
-    )(A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, *bound_tiles, vx_t, vxx_t)
+        lb_l=bound_tiles[0] if boxqp else None,
+        ub_l=bound_tiles[1] if boxqp else None,
+    )
 
     def from_tiles(x, inner):
         # [nb, T, *inner, 8, 128] -> [B, T, *inner]

@@ -487,9 +487,149 @@ def _batched_backward_pallas(
     return k.astype(xs.dtype), K.astype(xs.dtype)
 
 
+def _solve_ilqr_batched_fused(
+    specs: OCPSpec, config: ILQRConfig, interpret: bool, use_boxqp: bool
+) -> SolveResult:
+    """Fully lane-resident iteration loop (the fastest path).
+
+    Profiling the kernel-per-phase path showed the two hand-written kernels
+    at ~10% of solve time with ~90% in XLA glue -- a fifth of it pure layout
+    copies converting [B, T, ...] <-> lane tiles around EVERY kernel call,
+    every iteration.  This driver tiles once, carries the while_loop state
+    in lane layout [nb, T, ..., 8, 128], runs linearize / terminal-derivs /
+    Riccati / select as four kernel launches per iteration with zero
+    conversions between them, and untiles once at the end.  Requirements
+    (checked by the caller): lane-traceable dynamics/costs, AD mode, default
+    objective, no constraints, no context.
+    """
+    from ..ops.forward_select_pallas import (
+        LANE, SUB, TILE, _to_lanes, forward_select_pallas_tiled,
+    )
+    from ..ops.linearize_pallas import linearize_pallas_tiled, terminal_derivs_tiled
+    from ..ops.riccati_pallas import riccati_backward_pallas_tiled
+
+    B = specs.initial_state.shape[0]
+    T, nx, nu = specs.horizon_steps, specs.state_dim, specs.control_dim
+    out_dtype = specs.initial_state.dtype
+    f32 = jnp.float32
+    pad = (-B) % TILE
+    Bp = B + pad
+    nb = Bp // TILE
+
+    def padded(x):
+        if pad:
+            # Replicate the first problem into pad lanes: keeps the padded
+            # dynamics on valid states (no NaN lanes from zero-padding
+            # models with singularities).
+            fill = jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])
+            x = jnp.concatenate([x, fill], 0)
+        return x.astype(f32)
+
+    pack = lambda arr: _to_lanes(padded(arr), Bp)       # [Bp,...] -> [nb,...,8,128]
+
+    # --- one-time tiling --------------------------------------------------
+    x0_l = pack(specs.initial_state)                    # [nb, nx, 8, 128]
+    us0 = specs.initial_controls
+    xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+    cost0 = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs0, us0)
+    us_l0 = pack(us0)                                   # [nb, T, nu, 8, 128]
+    xs_tail_l0 = pack(xs0[:, 1:])                       # [nb, T, nx, 8, 128]
+    merit_l0 = pack(cost0)                              # [nb, 8, 128]
+
+    if specs.has_input_bounds:
+        lb_l = pack(jnp.broadcast_to(specs.input_lower_bounds, (B, nu)))
+        ub_l = pack(jnp.broadcast_to(specs.input_upper_bounds, (B, nu)))
+    else:
+        lb_l = jnp.zeros((nb, nu, SUB, LANE), f32)
+        ub_l = jnp.zeros((nb, nu, SUB, LANE), f32)
+
+    alphas = _alpha_ladder_floats(config.alpha_min)
+    # Statics carrier for the kernels (they read only spec statics).
+    spec0 = jax.tree_util.tree_map(
+        lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
+    )
+    discrete = config.jacobian_mode == "discrete"
+
+    converged_l0 = jnp.zeros((nb, SUB, LANE), bool)
+
+    def cond(state):
+        it, converged_l = state[3], state[4]
+        return (it < config.max_iterations) & jnp.any(~converged_l)
+
+    def body(state):
+        xs_tail_l, us_l, merit_l, it, converged_l = state
+        active = ~converged_l                            # [nb, 8, 128]
+
+        xs_stage_l = jnp.concatenate([x0_l[:, None], xs_tail_l[:, :-1]], axis=1)
+        A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l = linearize_pallas_tiled(
+            spec0, xs_stage_l, us_l, discrete, interpret
+        )
+        phix_l, phixx_l = terminal_derivs_tiled(spec0, xs_tail_l[:, -1], interpret)
+
+        if use_boxqp:
+            blb = lb_l[:, None] - us_l
+            bub = ub_l[:, None] - us_l
+        else:
+            blb = bub = None
+        k_l, K_l = riccati_backward_pallas_tiled(
+            A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l, phix_l, phixx_l,
+            reg_init=config.reg_init, reg_factor=config.reg_factor,
+            reg_levels=config.reg_levels, interpret=interpret,
+            lb_l=blb, ub_l=bub,
+        )
+
+        xs_sel, us_sel, merit_new, accept_l = forward_select_pallas_tiled(
+            spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
+            alphas, interpret,
+        )
+        acc = (accept_l > 0.5) & active                  # [nb, 8, 128]
+        accT = acc[:, None, None]                        # broadcast over (T, d)
+        xs_tail_new = jnp.where(accT, xs_sel, xs_tail_l)
+        us_new = jnp.where(accT, us_sel, us_l)
+        merit_kept = jnp.where(acc, merit_new, merit_l)
+
+        improvement = merit_l - merit_kept
+        newly = active & (improvement < config.tolerance)
+        return (xs_tail_new, us_new, merit_kept, it + 1, converged_l | newly)
+
+    xs_tail_l, us_l, merit_l, it, converged_l = jax.lax.while_loop(
+        cond, body, (xs_tail_l0, us_l0, merit_l0, jnp.asarray(0, jnp.int32),
+                     converged_l0)
+    )
+
+    from ..ops.forward_select_pallas import _from_lanes
+    unpack = lambda arr: _from_lanes(arr, B)
+    xs_tail = unpack(xs_tail_l).astype(out_dtype)        # [B, T, nx]
+    xs = jnp.concatenate(
+        [specs.initial_state[:, None].astype(out_dtype), xs_tail], axis=1
+    )
+    us = unpack(us_l).astype(out_dtype)
+    cost = unpack(merit_l).astype(out_dtype)
+    zeros = jnp.zeros((B,), out_dtype)
+    return SolveResult(
+        states=xs, controls=us, cost=cost,
+        iterations=jnp.broadcast_to(it, (B,)), converged=unpack(converged_l),
+        merit=cost, eq_violation=zeros, ineq_violation=zeros,
+    )
+
+
+def _lane_cost_traceable(specs: OCPSpec, nx: int, nu: int) -> bool:
+    """Can the stage cost be traced on lane-shaped values with a float t?"""
+    try:
+        out = jax.eval_shape(
+            specs.stage_cost,
+            jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )
+        return tuple(out.shape) in [(8, 128), ()]
+    except Exception:
+        return False
+
+
 def solve_ilqr_batched(
     specs: OCPSpec, config: ILQRConfig, backward: str = "auto",
-    linearize: str = "xla",
+    linearize: str = "xla", fused: str = "auto",
 ) -> SolveResult:
     """Batched AL-iLQR: spec leaves carry a leading batch axis ``[B, ...]``.
 
@@ -498,6 +638,10 @@ def solve_ilqr_batched(
     ops/riccati_pallas.py) -- the hot path of the solves/s benchmark.
     ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 8, nu <= 4;
     covers pairwise-stacked agents and richer vehicle models).
+    ``fused``: 'auto' (default) routes eligible problems (lane-traceable
+    dynamics/costs, AD mode, unconstrained, no context) through the fully
+    lane-resident iteration loop (:func:`_solve_ilqr_batched_fused`);
+    False forces the kernel-per-phase path.
     """
     B = specs.initial_state.shape[0]
     T = specs.horizon_steps
@@ -525,6 +669,24 @@ def solve_ilqr_batched(
         and specs.objective_is_default
         and spec_supports_lane_forward(specs, context_inner)
     )
+
+    # Fully lane-resident loop: the fastest path when eligible (see
+    # _solve_ilqr_batched_fused).  The in-kernel linearizer passes the time
+    # index as a lane-shaped float, hence the traceability probe.
+    if (
+        fused in ("auto", True)
+        and lane_forward
+        and specs.derivative_mode == "ad"
+        and specs.eq_dim == 0
+        and specs.ineq_dim == 0
+        and specs.context is None
+        and not config.quadratic_cost
+        and _lane_cost_traceable(specs, nx, nu)
+    ):
+        return _solve_ilqr_batched_fused(
+            specs, config, jax.default_backend() == "cpu", use_boxqp
+        )
+
     # Fused in-kernel-AD linearization (opt-in: measured slower than the
     # XLA-fused vmapped linearizer on v5e for jvp-through-RK4 Jacobians, but
     # kept for problems whose linearization fragments into many tiny XLA
@@ -533,17 +695,7 @@ def solve_ilqr_batched(
         linearize == "pallas" and lane_forward and specs.derivative_mode == "ad"
     )
     if lane_linearize:
-        # The linearize kernel passes the time index as a lane-shaped float.
-        try:
-            out = jax.eval_shape(
-                specs.stage_cost,
-                jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            )
-            lane_linearize = tuple(out.shape) in [(8, 128), ()]
-        except Exception:
-            lane_linearize = False
+        lane_linearize = _lane_cost_traceable(specs, nx, nu)
 
     us0 = specs.initial_controls
     if lane_forward:

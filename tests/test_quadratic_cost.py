@@ -75,10 +75,14 @@ class TestQuadraticCostHoisting:
             spec.initial_state.at[3].set(0.1),
         ])
         specs = jax.vmap(lambda s0: spec.replace(initial_state=s0))(x0s)
-        base = jax.jit(solve_ilqr_batched, static_argnums=1)(specs, CONFIG)
-        hoist = jax.jit(solve_ilqr_batched, static_argnums=1)(
-            specs, dataclasses.replace(CONFIG, quadratic_cost=True)
+        # Pin the kernel-per-phase path: hoisting targets it (the fused
+        # lane-resident path recomputes in-kernel and ignores the flag).
+        run = jax.jit(
+            lambda s, c: solve_ilqr_batched(s, c, fused=False),
+            static_argnums=1,
         )
+        base = run(specs, CONFIG)
+        hoist = run(specs, dataclasses.replace(CONFIG, quadratic_cost=True))
         np.testing.assert_allclose(np.asarray(hoist.cost),
                                    np.asarray(base.cost), rtol=1e-12)
 
