@@ -40,7 +40,8 @@ TILE = SUB * LANE
 
 def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
                  has_bounds, has_context,
-                 eq_fn=None, eq_dim=0, ineq_fn=None, ineq_dim=0, act_tol=1e-6):
+                 eq_fn=None, eq_dim=0, ineq_fn=None, ineq_dim=0, act_tol=1e-6,
+                 emit_lin=False, lin_discrete=True):
     f32 = jnp.float32
 
     def rk4(x, u):
@@ -49,6 +50,14 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         k3 = dynamics(x + (0.5 * dt) * k2, u)
         k4 = dynamics(x + dt * k3, u)
         return (x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)).astype(f32)
+
+    def rk4_raw(x, u):
+        # Un-cast variant for jvp (astype would drop f64 tangents oddly).
+        k1 = dynamics(x, u)
+        k2 = dynamics(x + (0.5 * dt) * k1, u)
+        k3 = dynamics(x + (0.5 * dt) * k2, u)
+        k4 = dynamics(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
     def control(x, x_ref, u_ref, k_t, K_t, alpha, lb, ub):
         dx = x - x_ref
@@ -79,8 +88,13 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         if has_al:
             rho_ref = rest[0]
             rest = rest[1:]
-        (xs_out, us_out, cost_out, accept_out,
-         xA_s, costA_s, x2_s, alpha_s) = rest
+        if emit_lin:
+            (xs_out, us_out, cost_out, accept_out,
+             A_out, B_out, lx_out, lu_out, lxx_out, luu_out, lux_out,
+             xA_s, costA_s, x2_s, alpha_s) = rest
+        else:
+            (xs_out, us_out, cost_out, accept_out,
+             xA_s, costA_s, x2_s, alpha_s) = rest
 
         def al_terms(x, u):
             """AL merit terms with the inequality activation mask
@@ -161,6 +175,62 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             us_out[0, 0] = u
             x2_s[...] = x_next
 
+            if emit_lin:
+                # Emit the NEXT iteration's linearization at the accepted
+                # (x, u): the separate linearize launch and its HBM re-read
+                # of the trajectory disappear from the fused loop.
+                lanes = jnp.zeros_like(x[0])
+                w = lambda v: jnp.asarray(v + lanes, f32)
+
+                def basis(n, j, like):
+                    return jnp.stack(
+                        [jnp.ones_like(like[0]) if i == j else
+                         jnp.zeros_like(like[0]) for i in range(n)], axis=0
+                    )
+
+                step = rk4_raw if lin_discrete else dynamics
+                for j in range(nx):
+                    _, col = jax.jvp(lambda xx: step(xx, u), (x,), (basis(nx, j, x),))
+                    for i in range(nx):
+                        A_out[0, 0, i, j] = w(col[i])
+                for j in range(nu):
+                    _, col = jax.jvp(lambda uu: step(x, uu), (u,), (basis(nu, j, u),))
+                    for i in range(nx):
+                        B_out[0, 0, i, j] = w(col[i])
+
+                tf = t - T   # stage index within phase 2
+                def lgrad_x(xx, uu, j):
+                    _, g = jax.jvp(lambda a: stage(a, uu, tf), (xx,), (basis(nx, j, x),))
+                    return g + lanes
+
+                def lgrad_u(xx, uu, j):
+                    _, g = jax.jvp(lambda a: stage(xx, a, tf), (uu,), (basis(nu, j, u),))
+                    return g + lanes
+
+                for j in range(nx):
+                    lx_out[0, 0, j] = w(lgrad_x(x, u, j))
+                for j in range(nu):
+                    lu_out[0, 0, j] = w(lgrad_u(x, u, j))
+                for i in range(nx):
+                    for j in range(i, nx):
+                        _, h = jax.jvp(lambda a: lgrad_x(a, u, i), (x,),
+                                       (basis(nx, j, x),))
+                        lxx_out[0, 0, i, j] = w(h)
+                        if i != j:
+                            lxx_out[0, 0, j, i] = w(h)
+                for i in range(nu):
+                    for j in range(i, nu):
+                        _, h = jax.jvp(lambda a: lgrad_u(x, a, i), (u,),
+                                       (basis(nu, j, u),))
+                        luu_out[0, 0, i, j] = w(h)
+                        if i != j:
+                            luu_out[0, 0, j, i] = w(h)
+                for i in range(nu):
+                    for j in range(nx):
+                        _, h = jax.jvp(lambda a: lgrad_u(a, u, i), (x,),
+                                       (basis(nx, j, x),))
+                        lux_out[0, 0, i, j] = w(h)
+
     return kernel
 
 
@@ -192,12 +262,19 @@ def forward_select_pallas_tiled(
     ineq_mult_l: Array = None,
     rho_l: Array = None,        # [nl, 8, 128]
     act_tol: float = 1e-6,
+    emit_lin: bool = False,
+    lin_discrete: bool = True,
 ):
     """Select kernel on pre-tiled lane-layout stacks (the fused-loop entry).
 
     Returns ``(xs_tail_l [nl, T, nx, 8, 128]`` holding x_1..x_T,
     ``us_l [nl, T, nu, 8, 128]``, ``merit_new_l [nl, 8, 128]``,
     ``accept_l [nl, 8, 128]`` (1.0 = accepted)`` -- no layout conversions.
+
+    With ``emit_lin``, seven more outputs follow: the stage linearization
+    ``(A, B, lx, lu, lxx, luu, lux)`` of the accepted trajectory, computed
+    by in-kernel forward-mode AD during the phase-2 re-roll -- feeding the
+    NEXT iteration's Riccati kernel with no separate linearize launch.
     """
     nl, T, nx = xref_l.shape[:3]
     nu = uref_l.shape[2]
@@ -215,7 +292,7 @@ def forward_select_pallas_tiled(
         has_context,
         eq_fn=spec.equality_constraints, eq_dim=eq_dim,
         ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
-        act_tol=act_tol,
+        act_tol=act_tol, emit_lin=emit_lin, lin_discrete=lin_discrete,
     )
 
     tmod = lambda t: jnp.where(t >= T, t - T, t)
@@ -244,6 +321,15 @@ def forward_select_pallas_tiled(
         extra_inputs.append(rho_l.astype(dtype))
         extra_specs.append(cspec())
 
+    lin_specs, lin_shapes = [], []
+    if emit_lin:
+        for inner in ((nx, nx), (nx, nu), (nx,), (nu,), (nx, nx), (nu, nu),
+                      (nu, nx)):
+            lin_specs.append(tspec(*inner))
+            lin_shapes.append(
+                jax.ShapeDtypeStruct((nl, T) + inner + (SUB, LANE), dtype)
+            )
+
     return pl.pallas_call(
         kernel,
         grid=(nl, 2 * T),
@@ -251,13 +337,13 @@ def forward_select_pallas_tiled(
             tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
             cspec(), cspec(nu), cspec(nu),
         ] + extra_specs,
-        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()],
+        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()] + lin_specs,
         out_shape=[
             jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
             jax.ShapeDtypeStruct((nl, T, nu, SUB, LANE), dtype),
             jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
             jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
-        ],
+        ] + lin_shapes,
         scratch_shapes=[
             pltpu.VMEM((A, nx, SUB, LANE), dtype),
             pltpu.VMEM((A, SUB, LANE), dtype),

@@ -149,7 +149,7 @@ def _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx):
 
 
 def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
-                 boxqp: bool = False):
+                 boxqp: bool = False, terminal_fn=None):
     def kernel(*refs):
         if boxqp:
             (A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
@@ -161,8 +161,36 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
 
         @pl.when(t_idx == 0)
         def _():
-            vx_s[...] = vx0_ref[0]
-            vxx_s[...] = vxx0_ref[0]
+            if terminal_fn is None:
+                vx_s[...] = vx0_ref[0]
+                vxx_s[...] = vxx0_ref[0]
+            else:
+                # In-kernel terminal derivatives (fused-loop mode):
+                # vx0_ref carries x_T lanes, vxx0_ref is an unused dummy.
+                xT = vx0_ref[0]
+                lanes = jnp.zeros_like(xT[0])
+
+                def basis(j):
+                    return jnp.stack(
+                        [jnp.ones_like(lanes) if i == j else lanes
+                         for i in range(nx)], axis=0
+                    )
+
+                def grad_j(xx, j):
+                    _, g = jax.jvp(terminal_fn, (xx,), (basis(j),))
+                    return jnp.asarray(g + lanes, jnp.float32)
+
+                for j in range(nx):
+                    vx_s[j] = grad_j(xT, j)
+                for i in range(nx):
+                    for j in range(i, nx):
+                        _, h = jax.jvp(
+                            lambda a: grad_j(a, i), (xT,), (basis(j),)
+                        )
+                        h = jnp.asarray(h + lanes, jnp.float32)
+                        vxx_s[i, j] = h
+                        if i != j:
+                            vxx_s[j, i] = h
 
         A = A_ref[0, 0]      # [nx, nx, 8, 128]
         Bm = B_ref[0, 0]     # [nx, nu, 8, 128]
@@ -250,7 +278,8 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reg_init", "reg_factor", "reg_levels", "interpret"),
+    static_argnames=("reg_init", "reg_factor", "reg_levels", "interpret",
+                     "terminal_fn"),
 )
 def riccati_backward_pallas_tiled(
     A_l: Array,     # [nb, T, nx, nx, 8, 128] lane layout
@@ -264,12 +293,16 @@ def riccati_backward_pallas_tiled(
     interpret: bool = False,
     lb_l: Array = None,   # [nb, T, nu, 8, 128] delta bounds -> in-kernel box QP
     ub_l: Array = None,
+    terminal_fn=None,     # lane-traceable terminal cost: vx_l carries x_T
 ):
     """Riccati kernel on pre-tiled lane-layout stacks (the fused-loop entry).
 
     Identical kernel to :func:`riccati_backward_pallas` without the
     tile/untile layout conversions; returns ``k [nb, T, nu, 8, 128]``,
-    ``K [nb, T, nu, nx, 8, 128]``.
+    ``K [nb, T, nu, nx, 8, 128]``.  With ``terminal_fn``, ``vx_l`` carries
+    the terminal states ``x_T`` and phix/phixx are derived in-kernel at the
+    first grid step (one launch fewer in the fused loop); ``vxx_l`` is then
+    an ignored dummy.
     """
     nb, T, nx = A_l.shape[:3]
     nu = B_l.shape[3]
@@ -280,7 +313,7 @@ def riccati_backward_pallas_tiled(
         float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
         for j in range(reg_levels)
     )
-    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp)
+    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp, terminal_fn=terminal_fn)
 
     rev = lambda b, t: (b, T - 1 - t)
     spec = lambda *inner: pl.BlockSpec(

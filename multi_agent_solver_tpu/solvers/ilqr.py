@@ -505,7 +505,7 @@ def _solve_ilqr_batched_fused(
     from ..ops.forward_select_pallas import (
         LANE, SUB, TILE, _to_lanes, forward_select_pallas_tiled,
     )
-    from ..ops.linearize_pallas import linearize_pallas_tiled, terminal_derivs_tiled
+    from ..ops.linearize_pallas import linearize_pallas_tiled
     from ..ops.riccati_pallas import riccati_backward_pallas_tiled
 
     B = specs.initial_state.shape[0]
@@ -529,12 +529,7 @@ def _solve_ilqr_batched_fused(
 
     # --- one-time tiling --------------------------------------------------
     x0_l = pack(specs.initial_state)                    # [nb, nx, 8, 128]
-    us0 = specs.initial_controls
-    xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
-    cost0 = jax.vmap(lambda s, x, u: s.cost(x, u))(specs, xs0, us0)
-    us_l0 = pack(us0)                                   # [nb, T, nu, 8, 128]
-    xs_tail_l0 = pack(xs0[:, 1:])                       # [nb, T, nx, 8, 128]
-    merit_l0 = pack(cost0)                              # [nb, 8, 128]
+    us_l0 = pack(specs.initial_controls)                # [nb, T, nu, 8, 128]
 
     if specs.has_input_bounds:
         lb_l = pack(jnp.broadcast_to(specs.input_lower_bounds, (B, nu)))
@@ -549,6 +544,21 @@ def _solve_ilqr_batched_fused(
         lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
     )
     discrete = config.jacobian_mode == "discrete"
+    zeros_like_k = jnp.zeros((nb, T, nu, SUB, LANE), f32)
+    zeros_like_K = jnp.zeros((nb, T, nu, nx, SUB, LANE), f32)
+    vxx_dummy = jnp.zeros((nb, nx, nx, SUB, LANE), f32)
+
+    # Initial rollout + cost in ONE select launch: alpha = 0 with zero gains
+    # applies the initial controls raw.  Bounds are stripped like
+    # rollout_select does -- reference plain rollouts never clamp, so
+    # out-of-box initial controls must pass through unchanged.
+    x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUB, LANE))
+    spec_init = spec0.replace(input_lower_bounds=None, input_upper_bounds=None)
+    xs_tail_l0, _, merit_l0, _ = forward_select_pallas_tiled(
+        spec_init, x0_bc, us_l0, zeros_like_k, zeros_like_K,
+        jnp.full((nb, SUB, LANE), jnp.inf, f32), lb_l, ub_l,
+        (0.0,), interpret,
+    )
 
     converged_l0 = jnp.zeros((nb, SUB, LANE), bool)
 
@@ -560,22 +570,26 @@ def _solve_ilqr_batched_fused(
         xs_tail_l, us_l, merit_l, it, converged_l = state
         active = ~converged_l                            # [nb, 8, 128]
 
+        # NOTE on structure: linearization stays a SEPARATE kernel on the
+        # parallel (nb, T) grid.  Emitting it from the select kernel's
+        # phase-2 re-roll (emit_lin) was tried and measured 20% SLOWER
+        # end-to-end: it serializes (nx+nu+Hessian) jvp chains into the
+        # sequential phase-2 grid steps, whereas the standalone launch
+        # pipelines freely across all (b, t) blocks.
         xs_stage_l = jnp.concatenate([x0_l[:, None], xs_tail_l[:, :-1]], axis=1)
-        A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l = linearize_pallas_tiled(
-            spec0, xs_stage_l, us_l, discrete, interpret
-        )
-        phix_l, phixx_l = terminal_derivs_tiled(spec0, xs_tail_l[:, -1], interpret)
+        lin = linearize_pallas_tiled(spec0, xs_stage_l, us_l, discrete, interpret)
 
         if use_boxqp:
             blb = lb_l[:, None] - us_l
             bub = ub_l[:, None] - us_l
         else:
             blb = bub = None
+        # Terminal phix/phixx derived in-kernel from x_T (vxx slot unused).
         k_l, K_l = riccati_backward_pallas_tiled(
-            A_l, B_l, lx_l, lu_l, lxx_l, luu_l, lux_l, phix_l, phixx_l,
+            *lin, xs_tail_l[:, -1], vxx_dummy,
             reg_init=config.reg_init, reg_factor=config.reg_factor,
             reg_levels=config.reg_levels, interpret=interpret,
-            lb_l=blb, ub_l=bub,
+            lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
         )
 
         xs_sel, us_sel, merit_new, accept_l = forward_select_pallas_tiled(

@@ -77,3 +77,41 @@ class TestFusedLoop:
         config = ILQRConfig(max_iterations=10, tolerance=1e-6)
         r = solve_ilqr_batched(specs, config)
         assert np.isfinite(np.asarray(r.cost)).all()
+
+
+class TestEmitLin:
+    def test_select_emitted_linearization_matches_linearize_kernel(self):
+        """The select kernel's phase-2 emit_lin stacks equal the standalone
+        lane linearizer on the accepted trajectory (alpha = 0 re-roll)."""
+        from multi_agent_solver_tpu.ops.forward_select_pallas import (
+            _to_lanes, forward_select_pallas_tiled,
+        )
+        from multi_agent_solver_tpu.ops.linearize_pallas import (
+            linearize_pallas_tiled,
+        )
+
+        spec = single_track_lane_ocp().spec()
+        T, nx, nu = spec.horizon_steps, 4, 2
+        B = 1024   # one lane tile
+        rng = np.random.RandomState(0)
+        us = jnp.asarray(rng.uniform(-0.2, 0.2, (B, T, nu)), jnp.float32)
+        x0 = jnp.tile(spec.initial_state, (B, 1)).astype(jnp.float32)
+        x0_l = _to_lanes(x0, B)
+        us_l = _to_lanes(us, B)
+        x0_bc = jnp.broadcast_to(x0_l[:, None], (1, T, nx, 8, 128))
+        zk = jnp.zeros((1, T, nu, 8, 128), jnp.float32)
+        zK = jnp.zeros((1, T, nu, nx, 8, 128), jnp.float32)
+        inf = jnp.full((1, 8, 128), jnp.inf, jnp.float32)
+        zb = jnp.zeros((1, nu, 8, 128), jnp.float32)
+        plain = spec.replace(input_lower_bounds=None, input_upper_bounds=None)
+
+        xs_tail, us_out, _, _, *lin_emit = forward_select_pallas_tiled(
+            plain, x0_bc, us_l, zk, zK, inf, zb, zb, (0.0,), True,
+            emit_lin=True, lin_discrete=True,
+        )
+        xs_stage = jnp.concatenate([x0_l[:, None], xs_tail[:, :-1]], axis=1)
+        lin_ref = linearize_pallas_tiled(plain, xs_stage, us_l, True, True)
+        for got, want in zip(lin_emit, lin_ref):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+            )
