@@ -40,7 +40,8 @@ def _basis(n: int, j: int, like: Array) -> Array:
     return jnp.stack([ones if i == j else zeros for i in range(n)], axis=0)
 
 
-def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
+def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool,
+                 has_context: bool = False):
     def step_map(x, u):
         if not discrete:
             return dynamics(x, u)
@@ -50,12 +51,21 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
         k4 = dynamics(x + dt * k3, u)
         return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
 
-    def kernel(x_ref, u_ref, t_ref, A_out, B_out, lx_out, lu_out,
-               lxx_out, luu_out, lux_out):
+    def kernel(x_ref, u_ref, t_ref, *rest):
+        if has_context:
+            ctx_ref = rest[0]
+            rest = rest[1:]
+        (A_out, B_out, lx_out, lu_out, lxx_out, luu_out, lux_out) = rest
         x = x_ref[0]          # [nx, 8, 128]
         u = u_ref[0]          # [nu, 8, 128]
         t = t_ref[0]          # [8, 128] float (cast of the int time index)
         lanes = jnp.zeros_like(t)   # broadcast helper: scalar costs -> lanes
+        if has_context:
+            ctx_t = ctx_ref[0]
+            base_stage = stage_cost
+            stage_cost_t = lambda a, b, tt: base_stage(a, b, tt, ctx_t)
+        else:
+            stage_cost_t = stage_cost
 
         # Dynamics Jacobians: one jvp per input column.
         for j in range(nx):
@@ -69,11 +79,11 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool):
 
         # Cost gradients: jvp of the scalar stage cost.
         def lgrad_x(xx, uu, j):
-            _, g = jax.jvp(lambda a: stage_cost(a, uu, t), (xx,), (_basis(nx, j, x),))
+            _, g = jax.jvp(lambda a: stage_cost_t(a, uu, t), (xx,), (_basis(nx, j, x),))
             return g + lanes
 
         def lgrad_u(xx, uu, j):
-            _, g = jax.jvp(lambda a: stage_cost(xx, a, t), (uu,), (_basis(nu, j, u),))
+            _, g = jax.jvp(lambda a: stage_cost_t(xx, a, t), (uu,), (_basis(nu, j, u),))
             return g + lanes
 
         for j in range(nx):
@@ -126,6 +136,7 @@ def linearize_pallas_tiled(
     us_l: Array,         # [nb, T, nu, 8, 128]
     discrete: bool,
     interpret: bool = False,
+    ctx_l: Array = None,  # [nb, T, C..., 8, 128] per-step cost context
 ) -> Tuple[Array, ...]:
     """Whole-horizon linearization directly in the riccati/select lane layout.
 
@@ -133,12 +144,16 @@ def linearize_pallas_tiled(
     is ``(nb, T)`` with problems on the trailing ``(8, 128)`` lanes -- the
     SAME layout the fused Riccati kernel consumes -- so the fused iteration
     loop (solvers/ilqr.py fused path) passes stacks between kernels with
-    zero layout conversions.  Outputs ``(A, B, lx, lu, lxx, luu, lux)``,
-    each ``[nb, T, ..., 8, 128]``.
+    zero layout conversions.  With ``ctx_l`` the stage cost is the 4-arg
+    context form (inter-agent coupling); context is a constant w.r.t. the
+    jvp tangents.  Outputs ``(A, B, lx, lu, lxx, luu, lux)``, each
+    ``[nb, T, ..., 8, 128]``.
     """
     nb, T, nx = xs_stage_l.shape[:3]
     nu = us_l.shape[2]
-    kernel = _make_kernel(nx, nu, spec.dt, spec.dynamics, spec.stage_cost, discrete)
+    has_context = ctx_l is not None
+    kernel = _make_kernel(nx, nu, spec.dt, spec.dynamics, spec.stage_cost,
+                          discrete, has_context=has_context)
 
     # Reuse the flat kernel body: block index (b, t) feeds one (8, 128) tile.
     tspec = lambda *inner: pl.BlockSpec(
@@ -147,7 +162,7 @@ def linearize_pallas_tiled(
         memory_space=pltpu.VMEM,
     )
 
-    def kernel2(x_ref, u_ref, t_ref, *outs):
+    def kernel2(*refs):
         # Adapt refs: _make_kernel indexes [0, ...]; here blocks are [1, 1, ...].
         class _View:
             def __init__(self, ref):
@@ -159,15 +174,19 @@ def linearize_pallas_tiled(
                 # the output refs are always f32.
                 val = jnp.asarray(val, jnp.float32)
                 self.ref[(0,) + (idx if isinstance(idx, tuple) else (idx,))] = val
-        kernel(_View(x_ref), _View(u_ref), _View(t_ref), *map(_View, outs))
+        kernel(*map(_View, refs))
 
     t_l = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.float32)[None, :, None, None], (nb, T, SUB, LANE)
     )
+    ctx_inputs, ctx_specs = [], []
+    if has_context:
+        ctx_inputs.append(ctx_l.astype(jnp.float32))
+        ctx_specs.append(tspec(*tuple(ctx_l.shape[2:-2])))
     outs = pl.pallas_call(
         kernel2,
         grid=(nb, T),
-        in_specs=[tspec(nx), tspec(nu), tspec()],
+        in_specs=[tspec(nx), tspec(nu), tspec()] + ctx_specs,
         out_specs=[
             tspec(nx, nx), tspec(nx, nu), tspec(nx), tspec(nu),
             tspec(nx, nx), tspec(nu, nu), tspec(nu, nx),
@@ -182,7 +201,7 @@ def linearize_pallas_tiled(
             jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), jnp.float32),
         ],
         interpret=interpret,
-    )(xs_stage_l.astype(jnp.float32), us_l.astype(jnp.float32), t_l)
+    )(xs_stage_l.astype(jnp.float32), us_l.astype(jnp.float32), t_l, *ctx_inputs)
     return tuple(outs)
 
 

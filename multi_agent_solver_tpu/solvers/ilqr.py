@@ -530,6 +530,7 @@ def _solve_ilqr_batched_fused(
     # --- one-time tiling --------------------------------------------------
     x0_l = pack(specs.initial_state)                    # [nb, nx, 8, 128]
     us_l0 = pack(specs.initial_controls)                # [nb, T, nu, 8, 128]
+    ctx_l = pack(specs.context) if specs.context is not None else None
 
     if specs.has_input_bounds:
         lb_l = pack(jnp.broadcast_to(specs.input_lower_bounds, (B, nu)))
@@ -557,7 +558,7 @@ def _solve_ilqr_batched_fused(
     xs_tail_l0, _, merit_l0, _ = forward_select_pallas_tiled(
         spec_init, x0_bc, us_l0, zeros_like_k, zeros_like_K,
         jnp.full((nb, SUB, LANE), jnp.inf, f32), lb_l, ub_l,
-        (0.0,), interpret,
+        (0.0,), interpret, ctx_l=ctx_l,
     )
 
     converged_l0 = jnp.zeros((nb, SUB, LANE), bool)
@@ -577,7 +578,9 @@ def _solve_ilqr_batched_fused(
         # sequential phase-2 grid steps, whereas the standalone launch
         # pipelines freely across all (b, t) blocks.
         xs_stage_l = jnp.concatenate([x0_l[:, None], xs_tail_l[:, :-1]], axis=1)
-        lin = linearize_pallas_tiled(spec0, xs_stage_l, us_l, discrete, interpret)
+        lin = linearize_pallas_tiled(
+            spec0, xs_stage_l, us_l, discrete, interpret, ctx_l=ctx_l
+        )
 
         if use_boxqp:
             blb = lb_l[:, None] - us_l
@@ -594,7 +597,7 @@ def _solve_ilqr_batched_fused(
 
         xs_sel, us_sel, merit_new, accept_l = forward_select_pallas_tiled(
             spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
-            alphas, interpret,
+            alphas, interpret, ctx_l=ctx_l,
         )
         acc = (accept_l > 0.5) & active                  # [nb, 8, 128]
         accT = acc[:, None, None]                        # broadcast over (T, d)
@@ -629,13 +632,16 @@ def _solve_ilqr_batched_fused(
 
 def _lane_cost_traceable(specs: OCPSpec, nx: int, nu: int) -> bool:
     """Can the stage cost be traced on lane-shaped values with a float t?"""
+    args = [
+        jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    ]
+    if specs.context is not None:
+        ctx_inner = tuple(specs.context.shape[2:])
+        args.append(jax.ShapeDtypeStruct(ctx_inner + (8, 128), jnp.float32))
     try:
-        out = jax.eval_shape(
-            specs.stage_cost,
-            jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        )
+        out = jax.eval_shape(specs.stage_cost, *args)
         return tuple(out.shape) in [(8, 128), ()]
     except Exception:
         return False
@@ -687,13 +693,18 @@ def solve_ilqr_batched(
     # Fully lane-resident loop: the fastest path when eligible (see
     # _solve_ilqr_batched_fused).  The in-kernel linearizer passes the time
     # index as a lane-shaped float, hence the traceability probe.
+    # Context (coupled) solves are fused only on explicit request: the fused
+    # loop's all-f32 numerics perturb knife-edge Nash equilibria relative to
+    # the kernel-per-phase path's f64 XLA glue on CPU (symmetric head-on
+    # games are bistable -- tiny rounding picks the branch), so 'auto'
+    # keeps coupled sweeps on the numerically-matched path.
     if (
         fused in ("auto", True)
         and lane_forward
         and specs.derivative_mode == "ad"
         and specs.eq_dim == 0
         and specs.ineq_dim == 0
-        and specs.context is None
+        and (specs.context is None or fused is True)
         and not config.quadratic_cost
         and _lane_cost_traceable(specs, nx, nu)
     ):

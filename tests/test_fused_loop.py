@@ -115,3 +115,45 @@ class TestEmitLin:
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
             )
+
+
+class TestFusedContext:
+    def test_coupled_solve_fused_matches_regular_short_horizon(self):
+        """Explicit fused=True supports context costs; within a few
+        iterations it tracks the f64-glue path closely (full nonconvex
+        coupled solves may then drift to different-but-valid optima)."""
+        from tests.test_coupling import _head_on_problem, PARAMS
+        from multi_agent_solver_tpu import make_solver, make_strategy
+        from multi_agent_solver_tpu.strategies.base import stack_agent_specs
+        import dataclasses
+
+        problem = _head_on_problem(coupled=True)
+        problem.compute_offsets()
+        strategy = make_strategy("sequential", make_solver("ilqr"), PARAMS, 2)
+        specs = strategy._prepare(problem, stack_agent_specs(problem))
+        xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+        run = strategy._sweep_specs(specs, specs.initial_controls, xs0)
+        config = dataclasses.replace(strategy._config, max_iterations=3)
+        fused = solve_ilqr_batched(run, config, fused=True)
+        regular = solve_ilqr_batched(run, config, fused=False)
+        np.testing.assert_allclose(
+            np.asarray(fused.cost), np.asarray(regular.cost), rtol=1e-3
+        )
+
+    def test_auto_keeps_coupled_on_regular_path(self):
+        """fused='auto' must NOT engage for context solves (equilibrium
+        sensitivity, see solve_ilqr_batched); results equal fused=False."""
+        from tests.test_coupling import _head_on_problem, PARAMS
+        from multi_agent_solver_tpu import make_solver, make_strategy
+        from multi_agent_solver_tpu.strategies.base import stack_agent_specs
+
+        problem = _head_on_problem(coupled=True)
+        problem.compute_offsets()
+        strategy = make_strategy("sequential", make_solver("ilqr"), PARAMS, 2)
+        specs = strategy._prepare(problem, stack_agent_specs(problem))
+        xs0 = jax.vmap(lambda s: s.rollout(s.initial_controls))(specs)
+        run = strategy._sweep_specs(specs, specs.initial_controls, xs0)
+        auto = solve_ilqr_batched(run, strategy._config)
+        regular = solve_ilqr_batched(run, strategy._config, fused=False)
+        np.testing.assert_array_equal(np.asarray(auto.cost),
+                                      np.asarray(regular.cost))
