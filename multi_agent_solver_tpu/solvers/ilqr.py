@@ -487,6 +487,135 @@ def _batched_backward_pallas(
     return k.astype(xs.dtype), K.astype(xs.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Lane-space AL machinery for the fused loop
+# ---------------------------------------------------------------------------
+#
+# In lane layout [nb, T, d..., 8, 128] every constraint/merit/dual-update
+# computation is layout-neutral elementwise XLA math (the expensive layout
+# conversions only appear when switching between problem-major [B, T, ...]
+# and lane tiles -- which the fused loop never does).  Constraint Jacobians
+# come from jvps against lane-shaped basis tangents, mirroring the in-kernel
+# linearizer.
+
+
+def _lanes_of(x):
+    return jnp.zeros_like(x[0]), jnp.ones_like(x[0])
+
+
+def _lane_basis(n, j, zeros, ones):
+    return jnp.stack([ones if i == j else zeros for i in range(n)], axis=0)
+
+
+def _ensure_m_lanes(g, m, zeros):
+    """Broadcast an [m] (lane-collapsed) constraint value to [m, 8, 128]."""
+    if g.ndim == 1:
+        g = g[:, None, None] + zeros
+    return g
+
+
+def _lane_constraint_stacks(constraint, m, xs_stage_l, us_l):
+    """g [nb,T,m,8,128], Gx [nb,T,m,nx,8,128], Gu [nb,T,m,nu,8,128]."""
+    nx = xs_stage_l.shape[2]
+    nu = us_l.shape[2]
+
+    def per_stage(x, u):
+        zeros, ones = _lanes_of(x)
+        g = _ensure_m_lanes(constraint(x, u), m, zeros)
+        Gx = jnp.stack(
+            [_ensure_m_lanes(
+                jax.jvp(lambda xx: constraint(xx, u), (x,),
+                        (_lane_basis(nx, j, zeros, ones),))[1], m, zeros)
+             for j in range(nx)], axis=1)
+        Gu = jnp.stack(
+            [_ensure_m_lanes(
+                jax.jvp(lambda uu: constraint(x, uu), (u,),
+                        (_lane_basis(nu, j, zeros, ones),))[1], m, zeros)
+             for j in range(nu)], axis=1)
+        return g, Gx, Gu
+
+    return jax.vmap(jax.vmap(per_stage))(xs_stage_l, us_l)
+
+
+def _lane_constraint_vals(constraint, m, xs_stage_l, us_l):
+    def per_stage(x, u):
+        return _ensure_m_lanes(constraint(x, u), m, _lanes_of(x)[0])
+
+    return jax.vmap(jax.vmap(per_stage))(xs_stage_l, us_l)
+
+
+def _lane_objective(spec, xs_stage_l, xT_l, us_l, ctx_l=None):
+    """True (un-augmented) objective per lane: [nb, 8, 128]."""
+    T = xs_stage_l.shape[1]
+    ts = jnp.arange(T)
+
+    def per_tile(xs, us, *ctx):
+        zeros = jnp.zeros_like(xs[0, 0])
+        if ctx:
+            c = jax.vmap(
+                lambda x, u, t, ct: spec.stage_cost(x, u, t, ct) + zeros
+            )(xs, us, ts, ctx[0])
+        else:
+            c = jax.vmap(lambda x, u, t: spec.stage_cost(x, u, t) + zeros)(xs, us, ts)
+        return c.sum(0)
+
+    args = (xs_stage_l, us_l) + ((ctx_l,) if ctx_l is not None else ())
+    stage_sum = jax.vmap(per_tile)(*args)
+    term = jax.vmap(lambda x: spec.terminal_cost(x) + _lanes_of(x)[0])(xT_l)
+    return stage_sum + term
+
+
+def _lane_merit(spec, config, objective, g, h, eq_mult_l, ineq_mult_l, rho_l):
+    """AL merit per lane (mirrors compute_merit) given precomputed pieces."""
+    merit = objective
+    if g is not None:
+        merit = merit + (eq_mult_l * g).sum((1, 2))
+        merit = merit + 0.5 * rho_l * (g**2).sum((1, 2))
+    if h is not None:
+        slack = jnp.maximum(h, 0.0)
+        active = (h > -config.inequality_activation_tolerance).astype(h.dtype)
+        active_slack = slack * active
+        merit = merit + ((ineq_mult_l * active) * active_slack).sum((1, 2))
+        merit = merit + 0.5 * rho_l * (active_slack**2).sum((1, 2))
+    return merit
+
+
+def _lane_al_fold(spec, config, lin, stacks_eq, stacks_ineq,
+                  eq_mult_l, ineq_mult_l, rho_l):
+    """Fold AL constraint terms into the derivative stacks (_add_al_terms
+    in lane layout)."""
+    A, Bm, lx, lu, lxx, luu, lux = lin
+    rho3 = rho_l[:, None, None]                    # for [nb,T,m,8,128]
+    rho4 = rho_l[:, None, None, None]              # for [nb,T,i,j,8,128]
+
+    def outer(P, Q, w=None):
+        # sum_m P[..., m, i, :] * Q[..., m, j, :] (optionally weighted by w_m)
+        prod = P[:, :, :, :, None] * Q[:, :, :, None, :]
+        if w is not None:
+            prod = prod * w[:, :, :, None, None]
+        return prod.sum(2)
+
+    if stacks_eq is not None:
+        g, Gx, Gu = stacks_eq
+        dual = eq_mult_l + rho3 * g
+        lx = lx + (Gx * dual[:, :, :, None]).sum(2)
+        lu = lu + (Gu * dual[:, :, :, None]).sum(2)
+        lxx = lxx + rho4 * outer(Gx, Gx)
+        lux = lux + rho4 * outer(Gu, Gx)
+        luu = luu + rho4 * outer(Gu, Gu)
+    if stacks_ineq is not None:
+        h, Hx, Hu = stacks_ineq
+        slack = jnp.maximum(h, 0.0)
+        active = (h > -config.inequality_activation_tolerance).astype(h.dtype)
+        dual = ineq_mult_l * active + rho3 * slack * active
+        lx = lx + (Hx * dual[:, :, :, None]).sum(2)
+        lu = lu + (Hu * dual[:, :, :, None]).sum(2)
+        lxx = lxx + rho4 * outer(Hx, Hx, active)
+        lux = lux + rho4 * outer(Hu, Hx, active)
+        luu = luu + rho4 * outer(Hu, Hu, active)
+    return A, Bm, lx, lu, lxx, luu, lux
+
+
 def _solve_ilqr_batched_fused(
     specs: OCPSpec, config: ILQRConfig, interpret: bool, use_boxqp: bool
 ) -> SolveResult:
@@ -497,10 +626,12 @@ def _solve_ilqr_batched_fused(
     copies converting [B, T, ...] <-> lane tiles around EVERY kernel call,
     every iteration.  This driver tiles once, carries the while_loop state
     in lane layout [nb, T, ..., 8, 128], runs linearize / terminal-derivs /
-    Riccati / select as four kernel launches per iteration with zero
-    conversions between them, and untiles once at the end.  Requirements
-    (checked by the caller): lane-traceable dynamics/costs, AD mode, default
-    objective, no constraints, no context.
+    Riccati / select as three kernel launches per iteration with zero
+    conversions between them, and untiles once at the end.  AL constraints
+    and coupling contexts are supported (merit, derivative folds, and dual
+    updates are layout-neutral lane math; the select kernel evaluates AL
+    merits in-kernel) -- the caller gates which problems route here and
+    requires lane-traceable dynamics/costs/constraints and AD mode.
     """
     from ..ops.forward_select_pallas import (
         LANE, SUB, TILE, _to_lanes, forward_select_pallas_tiled,
@@ -555,20 +686,31 @@ def _solve_ilqr_batched_fused(
     # out-of-box initial controls must pass through unchanged.
     x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUB, LANE))
     spec_init = spec0.replace(input_lower_bounds=None, input_upper_bounds=None)
-    xs_tail_l0, _, merit_l0, _ = forward_select_pallas_tiled(
+    xs_tail_l0, _, obj_l0, _ = forward_select_pallas_tiled(
         spec_init, x0_bc, us_l0, zeros_like_k, zeros_like_K,
         jnp.full((nb, SUB, LANE), jnp.inf, f32), lb_l, ub_l,
         (0.0,), interpret, ctx_l=ctx_l,
     )
 
+    eq_dim, ineq_dim = specs.eq_dim, specs.ineq_dim
+    has_al = eq_dim > 0 or ineq_dim > 0
+    eq_mult_l0 = jnp.zeros((nb, T, eq_dim, SUB, LANE), f32)
+    ineq_mult_l0 = jnp.zeros((nb, T, ineq_dim, SUB, LANE), f32)
+    rho_l0 = jnp.full((nb, SUB, LANE), config.penalty, f32)
     converged_l0 = jnp.zeros((nb, SUB, LANE), bool)
+    zeros_lane = jnp.zeros((nb, SUB, LANE), f32)
+
+    def stage_vals(fn, dim, xs_stage_l, us_l):
+        return (_lane_constraint_vals(fn, dim, xs_stage_l, us_l)
+                if dim > 0 else None)
 
     def cond(state):
-        it, converged_l = state[3], state[4]
+        it, converged_l = state[8], state[9]
         return (it < config.max_iterations) & jnp.any(~converged_l)
 
     def body(state):
-        xs_tail_l, us_l, merit_l, it, converged_l = state
+        (xs_tail_l, us_l, cost_l, eq_mult_l, ineq_mult_l, rho_l,
+         eqv_l, inv_l, it, converged_l) = state
         active = ~converged_l                            # [nb, 8, 128]
 
         # NOTE on structure: linearization stays a SEPARATE kernel on the
@@ -581,6 +723,33 @@ def _solve_ilqr_batched_fused(
         lin = linearize_pallas_tiled(
             spec0, xs_stage_l, us_l, discrete, interpret, ctx_l=ctx_l
         )
+
+        if has_al:
+            # Fresh merit under the CURRENT multipliers (stale-merit fix;
+            # see solve_ilqr) + AL terms folded into the stacks -- all
+            # layout-neutral lane math.
+            stacks_eq = (
+                _lane_constraint_stacks(
+                    spec0.equality_constraints, eq_dim, xs_stage_l, us_l)
+                if eq_dim > 0 else None
+            )
+            stacks_ineq = (
+                _lane_constraint_stacks(
+                    spec0.inequality_constraints, ineq_dim, xs_stage_l, us_l)
+                if ineq_dim > 0 else None
+            )
+            merit_l = _lane_merit(
+                spec0, config, cost_l,
+                stacks_eq[0] if stacks_eq else None,
+                stacks_ineq[0] if stacks_ineq else None,
+                eq_mult_l, ineq_mult_l, rho_l,
+            )
+            lin = _lane_al_fold(
+                spec0, config, lin, stacks_eq, stacks_ineq,
+                eq_mult_l, ineq_mult_l, rho_l,
+            )
+        else:
+            merit_l = cost_l
 
         if use_boxqp:
             blb = lb_l[:, None] - us_l
@@ -598,20 +767,70 @@ def _solve_ilqr_batched_fused(
         xs_sel, us_sel, merit_new, accept_l = forward_select_pallas_tiled(
             spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
             alphas, interpret, ctx_l=ctx_l,
+            eq_mult_l=eq_mult_l if eq_dim > 0 else None,
+            ineq_mult_l=ineq_mult_l if ineq_dim > 0 else None,
+            rho_l=rho_l if has_al else None,
+            act_tol=config.inequality_activation_tolerance,
         )
         acc = (accept_l > 0.5) & active                  # [nb, 8, 128]
         accT = acc[:, None, None]                        # broadcast over (T, d)
         xs_tail_new = jnp.where(accT, xs_sel, xs_tail_l)
         us_new = jnp.where(accT, us_sel, us_l)
         merit_kept = jnp.where(acc, merit_new, merit_l)
-
         improvement = merit_l - merit_kept
-        newly = active & (improvement < config.tolerance)
-        return (xs_tail_new, us_new, merit_kept, it + 1, converged_l | newly)
 
-    xs_tail_l, us_l, merit_l, it, converged_l = jax.lax.while_loop(
-        cond, body, (xs_tail_l0, us_l0, merit_l0, jnp.asarray(0, jnp.int32),
-                     converged_l0)
+        if has_al:
+            # True objective of the kept trajectory + dual/penalty updates
+            # at it (reference order: ilqr.hpp:233,239-260).
+            xs_stage_new = jnp.concatenate(
+                [x0_l[:, None], xs_tail_new[:, :-1]], axis=1
+            )
+            cost_new = _lane_objective(
+                spec0, xs_stage_new, xs_tail_new[:, -1], us_new, ctx_l=ctx_l
+            )
+            rho3 = rho_l[:, None, None]
+            eq_viol = ineq_viol = zeros_lane
+            eq_mult_new, ineq_mult_new = eq_mult_l, ineq_mult_l
+            if eq_dim > 0:
+                g_new = stage_vals(spec0.equality_constraints, eq_dim,
+                                   xs_stage_new, us_new)
+                eq_mult_new = eq_mult_l + rho3 * g_new
+                eq_viol = jnp.sqrt((g_new**2).sum((1, 2)))
+            if ineq_dim > 0:
+                h_new = stage_vals(spec0.inequality_constraints, ineq_dim,
+                                   xs_stage_new, us_new)
+                positive = jnp.maximum(h_new, 0.0)
+                ineq_mult_new = jnp.maximum(ineq_mult_l + rho3 * positive, 0.0)
+                ineq_viol = jnp.sqrt((positive**2).sum((1, 2)))
+            rho_new = jnp.where(
+                (eq_viol > config.constraint_tolerance)
+                | (ineq_viol > config.constraint_tolerance),
+                rho_l * config.penalty_increase, rho_l,
+            )
+            newly = (
+                active & (improvement < config.tolerance)
+                & (eq_viol < config.constraint_tolerance)
+                & (ineq_viol < config.constraint_tolerance)
+            )
+            mask = lambda new, old: jnp.where(
+                active.reshape((nb,) + (1,) * (new.ndim - 3) + (SUB, LANE)),
+                new, old,
+            )
+            return (
+                xs_tail_new, us_new, mask(cost_new, cost_l),
+                mask(eq_mult_new, eq_mult_l), mask(ineq_mult_new, ineq_mult_l),
+                mask(rho_new, rho_l), mask(eq_viol, eqv_l),
+                mask(ineq_viol, inv_l), it + 1, converged_l | newly,
+            )
+
+        newly = active & (improvement < config.tolerance)
+        return (xs_tail_new, us_new, merit_kept, eq_mult_l, ineq_mult_l,
+                rho_l, eqv_l, inv_l, it + 1, converged_l | newly)
+
+    init = (xs_tail_l0, us_l0, obj_l0, eq_mult_l0, ineq_mult_l0, rho_l0,
+            zeros_lane, zeros_lane, jnp.asarray(0, jnp.int32), converged_l0)
+    (xs_tail_l, us_l, cost_l, _, _, _, eqv_l, inv_l, it, converged_l) = (
+        jax.lax.while_loop(cond, body, init)
     )
 
     from ..ops.forward_select_pallas import _from_lanes
@@ -621,12 +840,12 @@ def _solve_ilqr_batched_fused(
         [specs.initial_state[:, None].astype(out_dtype), xs_tail], axis=1
     )
     us = unpack(us_l).astype(out_dtype)
-    cost = unpack(merit_l).astype(out_dtype)
-    zeros = jnp.zeros((B,), out_dtype)
+    cost = unpack(cost_l).astype(out_dtype)
     return SolveResult(
         states=xs, controls=us, cost=cost,
         iterations=jnp.broadcast_to(it, (B,)), converged=unpack(converged_l),
-        merit=cost, eq_violation=zeros, ineq_violation=zeros,
+        merit=cost, eq_violation=unpack(eqv_l).astype(out_dtype),
+        ineq_violation=unpack(inv_l).astype(out_dtype),
     )
 
 
@@ -645,6 +864,28 @@ def _lane_cost_traceable(specs: OCPSpec, nx: int, nu: int) -> bool:
         return tuple(out.shape) in [(8, 128), ()]
     except Exception:
         return False
+
+
+def _lane_constraints_traceable(specs: OCPSpec, nx: int, nu: int) -> bool:
+    """Can the constraint fns be traced on lane-shaped values with the
+    expected [m(, 8, 128)] output?"""
+    args = [
+        jax.ShapeDtypeStruct((nx, 8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((nu, 8, 128), jnp.float32),
+    ]
+    for fn, m in (
+        (specs.equality_constraints, specs.eq_dim),
+        (specs.inequality_constraints, specs.ineq_dim),
+    ):
+        if m == 0:
+            continue
+        try:
+            out = jax.eval_shape(fn, *args)
+            if tuple(out.shape) not in [(m, 8, 128), (m,)]:
+                return False
+        except Exception:
+            return False
+    return True
 
 
 def solve_ilqr_batched(
@@ -693,20 +934,22 @@ def solve_ilqr_batched(
     # Fully lane-resident loop: the fastest path when eligible (see
     # _solve_ilqr_batched_fused).  The in-kernel linearizer passes the time
     # index as a lane-shaped float, hence the traceability probe.
-    # Context (coupled) solves are fused only on explicit request: the fused
-    # loop's all-f32 numerics perturb knife-edge Nash equilibria relative to
-    # the kernel-per-phase path's f64 XLA glue on CPU (symmetric head-on
-    # games are bistable -- tiny rounding picks the branch), so 'auto'
-    # keeps coupled sweeps on the numerically-matched path.
+    # Context (coupled) and AL-constrained solves are fused only on explicit
+    # request: the fused loop's all-f32 numerics perturb knife-edge dynamics
+    # relative to the kernel-per-phase path's f64 XLA glue on CPU --
+    # symmetric Nash games are bistable, and AL endgames under the x5
+    # penalty schedule take near-chaotic final steps -- so 'auto' keeps
+    # those on the numerically-matched path (both implementations agree to
+    # f32 precision for many iterations; see tests/test_fused_loop.py).
+    al_free = specs.eq_dim == 0 and specs.ineq_dim == 0
     if (
         fused in ("auto", True)
         and lane_forward
         and specs.derivative_mode == "ad"
-        and specs.eq_dim == 0
-        and specs.ineq_dim == 0
-        and (specs.context is None or fused is True)
+        and ((specs.context is None and al_free) or fused is True)
         and not config.quadratic_cost
         and _lane_cost_traceable(specs, nx, nu)
+        and _lane_constraints_traceable(specs, nx, nu)
     ):
         return _solve_ilqr_batched_fused(
             specs, config, jax.default_backend() == "cpu", use_boxqp

@@ -29,3 +29,17 @@ import jax
 # tunneled TPU (and its device-to-host transfers can hang).  Pin via config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache for the test session.  The environment's
+# XLA:CPU backend has a latent compile-time heap corruption (see the
+# vector-width note above): long pytest sessions with hundreds of fresh
+# compiles occasionally segfault INSIDE backend_compile near the end of the
+# run.  Caching compiled executables across sessions removes almost every
+# compile from warm runs (and cuts suite wall time severalfold), shrinking
+# the crash window to the first cold run.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/multi_agent_solver_tpu/xla-cpu-tests"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -157,3 +157,59 @@ class TestFusedContext:
         regular = solve_ilqr_batched(run, strategy._config, fused=False)
         np.testing.assert_array_equal(np.asarray(auto.cost),
                                       np.asarray(regular.cost))
+
+
+class TestFusedConstrained:
+    def _constrained_specs(self):
+        from multi_agent_solver_tpu.ocp import OCP
+        from multi_agent_solver_tpu.models import single_track_model
+
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=40, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5], jnp.float64),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: x[1] ** 2 + (x[3] - 1.0) ** 2
+            + 0.1 * (u[0] ** 2 + u[1] ** 2),
+            input_lower_bounds=jnp.array([-0.5, -1.0]),
+            input_upper_bounds=jnp.array([0.5, 1.0]),
+            inequality_constraints=lambda x, u: jnp.array([x[3] - 0.8]),
+        )
+        ocp.initialize_problem()
+        spec = ocp.spec()
+        return jax.vmap(
+            lambda y: spec.replace(initial_state=spec.initial_state.at[1].set(y))
+        )(jnp.array([0.5, 1.0, 1.5]))
+
+    def test_al_fused_matches_regular(self):
+        """Lane-space AL (merit, fold, dual updates) tracks the regular
+        batched path to f32 precision over a meaningful iteration budget.
+        (Long runs under the x5 penalty schedule reach rho ~ 1e13 where the
+        final feasibility step is chaotic in BOTH paths -- hence the
+        explicit-opt-in policy for AL on the fused loop.)"""
+        specs = self._constrained_specs()
+        config = ILQRConfig(max_iterations=8, tolerance=1e-8)
+        fused = solve_ilqr_batched(specs, config, fused=True)
+        regular = solve_ilqr_batched(specs, config, fused=False)
+        np.testing.assert_allclose(
+            np.asarray(fused.cost), np.asarray(regular.cost), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.ineq_violation),
+            np.asarray(regular.ineq_violation), atol=1e-4
+        )
+
+    def test_al_fused_satisfies_constraint_at_convergence(self):
+        specs = self._constrained_specs()
+        config = ILQRConfig(max_iterations=40, tolerance=1e-8)
+        r = solve_ilqr_batched(specs, config, fused=True)
+        assert np.asarray(r.converged).all()
+        v = np.asarray(r.states[:, :, 3])
+        assert (v <= 0.8 + 1e-3).all(), f"max speed {v.max()}"
+
+    def test_auto_keeps_constrained_on_regular_path(self):
+        specs = self._constrained_specs()
+        config = ILQRConfig(max_iterations=6, tolerance=1e-8)
+        auto = solve_ilqr_batched(specs, config)
+        regular = solve_ilqr_batched(specs, config, fused=False)
+        np.testing.assert_array_equal(np.asarray(auto.cost),
+                                      np.asarray(regular.cost))
