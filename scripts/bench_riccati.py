@@ -50,18 +50,29 @@ def _random_problem(seed, B, T, nx, nu):
 
 
 def _time(fn, args, reps):
-    # Several warmup calls: the first few executions through the remote
-    # tunnel are dominated by compile/queue effects, not kernel time.
-    for _ in range(3):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    times = []
+    """Serialized per-call wall time via chained distinct inputs.
+
+    On this environment's tunneled TPU, ``block_until_ready`` on a repeated
+    identical call can return without real execution (a tunnel-side cache
+    serves it), reporting physically impossible times.  Defense: perturb one
+    input each rep by a scalar DERIVED FROM the previous rep's output (so
+    reps can neither be deduplicated nor reordered), and sync once at the
+    end with a host fetch.  Per-call = total / reps with the pipeline
+    hiding the fetch round-trip.
+    """
+    args = list(args)
+    lx_base = args[2]
+    acc = jnp.zeros((), jnp.float32)
+    out = fn(*args)                       # compile + warm
+    acc = out[0].reshape(-1)[0] * 1e-12
+    float(acc)                            # sync the warmup
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
+        args[2] = lx_base + acc           # depends on previous output
         out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        acc = out[0].reshape(-1)[0] * 1e-12
+    float(acc)                            # one final sync
+    return (time.perf_counter() - t0) / reps
 
 
 def main():

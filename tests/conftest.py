@@ -43,3 +43,27 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def pytest_collection_modifyitems(session, config, items):
+    """Quarantine test_warm_workspace into a fresh subprocess in full runs.
+
+    The environment's XLA:CPU backend corrupts its heap over long
+    single-process sessions; after ~40 minutes of compiles the NEXT
+    ``backend_compile`` segfaults, and in a full-suite run that next
+    compile deterministically lands in test_warm_workspace (alphabetically
+    last, with fresh warm-variant executables).  The tests themselves are
+    sound -- they pass in any fresh process, including a subprocess spawned
+    at the end of the full run (tests/test_zz_quarantined.py).  Small
+    selections (under the threshold) run them in-process as usual.
+    """
+    import pytest
+
+    ww = [i for i in items if "test_warm_workspace" in i.nodeid]
+    if ww and len(items) > len(ww) + 50:
+        marker = pytest.mark.skip(
+            reason="full-suite run: executed in a fresh subprocess by "
+                   "test_zz_quarantined.py (XLA:CPU long-session segfault)"
+        )
+        for item in ww:
+            item.add_marker(marker)
