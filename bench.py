@@ -13,13 +13,19 @@ efficiency diagnostics (VERDICT r1 item 9):
   input with a scalar chained from the previous rep's output and syncs via
   a host fetch (see _time_reps; repeated identical calls can be served
   from a tunnel-side cache without executing).
-* ``BENCH_BATCH`` defaults to 32768: an honest chained-input batch sweep
-  shows throughput rising monotonically to ~150k solves/s at 256k lanes
-  (92k at 8k) -- large batches amortize the per-call tunnel overhead; 32k
-  is the knee.
-* ``mfu_est`` is XLA's own cost-analysis FLOP count divided by measured
-  time over the chip's f32 peak -- an *estimate*, honest about this being
-  a small-matrix (nx=4) workload far from MXU-shaped.
+* ``BENCH_BATCH`` defaults to 262144: with the lane-resident fused loop a
+  chained-input batch sweep keeps rising past the round-1 knee (260k
+  solves/s at 32k lanes, 284k at 65k, 297k at 131k) and plateaus at
+  ~305k solves/s from 262k lanes up -- large batches amortize the
+  per-call tunnel overhead.
+* ``mfu_est`` is an *analytic* algorithmic-FLOP count divided by measured
+  time over the chip's f32 matmul peak.  XLA's own cost analysis cannot
+  see inside Pallas kernels (it reported 0 FLOPs for the fused path), so
+  the numerator is a documented closed-form count (see _SOLVE_FLOPS) that
+  deliberately undercounts (transcendentals = 1 FLOP) -- honest about this
+  being a small-matrix (nx=4) VPU workload far from MXU-shaped; the
+  companion ``vpu_util_est`` rates the same number against the VPU's
+  ~4 TFLOP/s vector peak, which is the unit the workload actually runs on.
 * ``bf16_solves_per_s`` runs the same solve with a bfloat16 spec (the
   fast-path dtype SURVEY section 7 asked to benchmark separately); emitted
   only when the bf16 costs stay finite and near the f32 answers.
@@ -44,9 +50,32 @@ import numpy as np
 REFERENCE_MS_PER_SOLVE = 1.06887  # README.md:167
 
 # Peak dense-matmul throughput of one TPU v5e chip (public spec):
-# 197 TFLOP/s bf16, f32 at half rate.
+# 197 TFLOP/s bf16, f32 at half rate.  The VPU (8x128 vector unit) peak is
+# ~4 TFLOP/s f32 -- the relevant roofline for nx=4 lane-resident math.
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = V5E_PEAK_BF16 / 2
+V5E_PEAK_VPU = 4e12
+
+
+def _solve_flops(T=80, iters=10, nx=4, nu=2, n_alphas=10):
+    """Analytic FLOPs per single-track iLQR solve (deliberate undercount).
+
+    Components (transcendentals counted as 1 FLOP, so this is a floor):
+    dynamics eval ~8; RK4 step = 4 evals + combine ~56; linearize stage =
+    jvp in (nx+nu) directions through the step (~2x each) + cost
+    grads/Hessians ~750; Riccati stage = small-matrix Q-terms, 16-level
+    regularization ladder, 2x2 solves, value recursion ~650; forward
+    select = n_alphas scored rollouts + 1 winner re-roll, each T stages of
+    (step + feedback + clamp + stage cost) ~86/stage.
+    """
+    f_dyn = 8
+    f_step = 4 * f_dyn + 6 * nx
+    f_lin = (nx + nu) * 2 * f_step + 80
+    f_riccati = 650
+    f_fwd_stage = f_step + 2 * nx * nu + 2 * nu + 10
+    per_iter = T * (f_lin + f_riccati) + (n_alphas + 1) * T * f_fwd_stage
+    rollout0 = T * f_step
+    return iters * per_iter + rollout0
 
 
 def _build(spec_dtype, batch):
@@ -94,18 +123,8 @@ def _time_reps(solve_batch, x0, reps):
     return np.asarray(times), result
 
 
-def _flops_estimate(solve_batch, x0):
-    try:
-        analysis = solve_batch.lower(x0).compile().cost_analysis()
-        if isinstance(analysis, list):          # older jax: list per device
-            analysis = analysis[0]
-        return float(analysis.get("flops", 0.0)) or None
-    except Exception:
-        return None
-
-
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "32768"))
+    batch = int(os.environ.get("BENCH_BATCH", "262144"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
     solve_batch, x0 = _build(jnp.float32, batch)
@@ -114,10 +133,10 @@ def main():
     median = float(np.median(rates))
     p25, p75 = (float(np.percentile(rates, q)) for q in (25, 75))
 
-    flops = _flops_estimate(solve_batch, x0)
-    mfu = None
-    if flops:
-        mfu = round(flops / float(np.median(times)) / V5E_PEAK_F32, 5)
+    flops = _solve_flops() * batch
+    achieved = flops / float(np.median(times))
+    mfu = round(achieved / V5E_PEAK_F32, 5)
+    vpu_util = round(achieved / V5E_PEAK_VPU, 4)
 
     f32_costs = np.asarray(result.cost, np.float64)
 
@@ -144,6 +163,7 @@ def main():
         "reps": reps,
         "batch": batch,
         "mfu_est": mfu,
+        "vpu_util_est": vpu_util,
         "bf16_solves_per_s": bf16_rate,
     }
     print(json.dumps(out))

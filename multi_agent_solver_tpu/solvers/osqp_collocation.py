@@ -240,10 +240,17 @@ def _solve_osqp_collocation_structured(
         dx = w[1:, :nx]
         du = w[:T, nx:]
 
-        xs = xs.at[1:].add(dx)     # full step (osqp_collocation.hpp:488-494)
-        us = us + du
         step_norm = jnp.sqrt(jnp.sum(dx**2) + jnp.sum(du**2))
-        done = step_norm < config.tolerance
+        # Non-finite guard: a diverged QP step (e.g. the rocket's m -> 0
+        # singularity under unguarded full steps) is rejected and the loop
+        # stops with the last finite iterate.  The reference applies the
+        # step regardless and the whole trajectory NaNs out
+        # (osqp_collocation.hpp:488-494 has no safeguard); for every finite
+        # trajectory this branch never triggers, so parity is unaffected.
+        finite = jnp.isfinite(step_norm)
+        xs = jnp.where(finite, xs.at[1:].add(dx), xs)   # full step
+        us = jnp.where(finite, us + du, us)
+        done = (step_norm < config.tolerance) | ~finite
         timed_out = _maybe_deadline(config)
         return (xs, us, qp.w, qp.y_r, qp.y_b, qp.iterations, it + 1, done, timed_out)
 
@@ -391,10 +398,12 @@ def _solve_osqp_collocation_dense(
         dx = delta[: T * nx].reshape(T, nx)
         du = delta[T * nx:].reshape(T, nu)
 
-        xs = xs.at[1:].add(dx)     # full step (osqp_collocation.hpp:488-494)
-        us = us + du
         step_norm = jnp.sqrt(jnp.sum(delta**2))
-        done = step_norm < config.tolerance
+        # Non-finite guard: see the structured backend above.
+        finite = jnp.isfinite(step_norm)
+        xs = jnp.where(finite, xs.at[1:].add(dx), xs)   # full step
+        us = jnp.where(finite, us + du, us)
+        done = (step_norm < config.tolerance) | ~finite
         timed_out = _maybe_deadline(config)
         return (xs, us, qp.x, qp.y, qp.iterations, it + 1, done, timed_out)
 

@@ -73,3 +73,30 @@ def test_joint_16_agent_shooting():
     # landed by the same solver budget.
     single = solve_osqp_shooting(lqr_ocp().spec(), config)
     np.testing.assert_allclose(cost, 16.0 * float(single.cost), rtol=1e-5)
+
+
+def test_collocation_nonfinite_step_guard():
+    """A diverging full-step SQP stays finite: the first non-finite QP step
+    is rejected and the loop stops with the last finite iterate (the
+    reference NaNs the whole trajectory, osqp_collocation.hpp:488-494)."""
+    import jax.numpy as jnp
+
+    from multi_agent_solver_tpu import OCP
+
+    # sqrt(x) dynamics with a cost minimum at x = -5: the initial zero-control
+    # rollout is finite, but the unguarded full delta step chases the minimum
+    # straight through the x <= 0 singularity, after which every
+    # defect/Jacobian evaluation is NaN.
+    ocp = OCP(
+        state_dim=1, control_dim=1, horizon_steps=10, dt=0.5,
+        initial_state=jnp.array([0.04]),
+        dynamics=lambda x, u: jnp.sqrt(x) * u,
+        stage_cost=lambda x, u, t: (x[0] + 5.0) ** 2 + 1e-4 * u[0] ** 2,
+    )
+    ocp.initialize_problem()
+    for backend in ("structured", "dense"):
+        result = solve_osqp_collocation(
+            ocp.spec(), OSQPCollocationConfig(max_iterations=12, backend=backend)
+        )
+        assert np.all(np.isfinite(np.asarray(result.states))), backend
+        assert np.all(np.isfinite(np.asarray(result.controls))), backend
