@@ -97,6 +97,7 @@ def main(argv=None) -> int:
 
     problem = build_problem(options.agents)
     params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 100}
+    params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver)
     strategy = make_strategy(options.strategy, solver, params, options.max_outer)
 

@@ -102,6 +102,7 @@ def main(argv=None) -> int:
 
     problem = build_problem(options.agents, coupling=options.coupling)
     params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1000}
+    params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver)
     strategy = make_strategy(options.strategy, solver, params, options.max_outer)
 

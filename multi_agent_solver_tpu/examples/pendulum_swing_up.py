@@ -95,6 +95,7 @@ def main(argv=None) -> int:
 
     problem = create_pendulum_swingup_ocp()
     params = {"max_iterations": 1000, "tolerance": 1e-4, "max_ms": 5000}
+    params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver, params)
 
     with Timer() as timer:

@@ -103,6 +103,7 @@ def main(argv=None) -> int:
 
     problem = create_max_altitude_rocket_ocp()
     params = {"max_iterations": 25, "tolerance": 1e-6, "max_ms": 200}
+    params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver, params)
 
     with Timer() as timer:

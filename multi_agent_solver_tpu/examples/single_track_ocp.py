@@ -86,6 +86,7 @@ def main(argv=None) -> int:
 
     problem = create_single_track_lane_following_ocp()
     params = {"max_iterations": 10, "tolerance": 1e-5, "max_ms": 100}
+    params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver, params)
 
     with Timer() as timer:

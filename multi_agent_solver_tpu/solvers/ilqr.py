@@ -96,6 +96,11 @@ class ILQRConfig:
     # non-quadratic costs this silently becomes a fixed-metric Gauss-Newton
     # variant -- the flag is the user's assertion, not checked.
     quadratic_cost: bool = False
+    # Lane-resident fused-loop routing for batched solves (param ``fused``):
+    # 'auto' (default) fuses eligible unconstrained/uncoupled problems only;
+    # 'on' also fuses coupled (context) and AL-constrained solves; 'off'
+    # forces the kernel-per-phase path.  See solve_ilqr_batched.
+    fused: str = "auto"
     debug: bool = False
 
     @classmethod
@@ -116,6 +121,10 @@ class ILQRConfig:
             ),
             bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
             quadratic_cost=param_flag(params, "quadratic_cost"),
+            fused=(
+                "auto" if "fused" not in params
+                else ("on" if param_flag(params, "fused") else "off")
+            ),
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -909,6 +918,11 @@ def solve_ilqr_batched(
     dtype = specs.initial_state.dtype
     nx, nu = specs.state_dim, specs.control_dim
 
+    if fused == "auto" and config.fused != "auto":
+        # Config-level routing (param ``fused``): 'on' also fuses coupled /
+        # AL-constrained solves, 'off' forces the kernel-per-phase path.
+        fused = config.fused == "on"
+
     if backward == "auto":
         backward = "pallas" if (nx <= 8 and nu <= 4) else "scan"
     use_boxqp = config.bound_mode == "boxqp" and specs.has_input_bounds
@@ -934,19 +948,26 @@ def solve_ilqr_batched(
     # Fully lane-resident loop: the fastest path when eligible (see
     # _solve_ilqr_batched_fused).  The in-kernel linearizer passes the time
     # index as a lane-shaped float, hence the traceability probe.
-    # Context (coupled) and AL-constrained solves are fused only on explicit
-    # request: the fused loop's all-f32 numerics perturb knife-edge dynamics
-    # relative to the kernel-per-phase path's f64 XLA glue on CPU --
+    # On CPU, context (coupled) and AL-constrained solves are fused only on
+    # explicit request: the fused loop's all-f32 numerics perturb knife-edge
+    # dynamics relative to the kernel-per-phase path's f64 XLA glue --
     # symmetric Nash games are bistable, and AL endgames under the x5
     # penalty schedule take near-chaotic final steps -- so 'auto' keeps
-    # those on the numerically-matched path (both implementations agree to
-    # f32 precision for many iterations; see tests/test_fused_loop.py).
+    # those on the numerically-matched path there (both implementations
+    # agree to f32 precision for many iterations; tests/test_fused_loop.py).
+    # On TPU both paths are f32 and agree (coupled 8-agent Nash and an
+    # AL-constrained batch land on identical costs, with the fused loop
+    # ~11x faster end-to-end on the coupled example), so 'auto' fuses them.
     al_free = specs.eq_dim == 0 and specs.ineq_dim == 0
     if (
         fused in ("auto", True)
         and lane_forward
         and specs.derivative_mode == "ad"
-        and ((specs.context is None and al_free) or fused is True)
+        and (
+            (specs.context is None and al_free)
+            or fused is True
+            or not interpret          # TPU: fuse coupled + AL solves too
+        )
         and not config.quadratic_cost
         and _lane_cost_traceable(specs, nx, nu)
         and _lane_constraints_traceable(specs, nx, nu)

@@ -51,12 +51,33 @@ def _parse(argv: List[str]) -> Tuple[Dict[str, str], List[str], bool]:
     return options, positionals, show_help
 
 
+def _extra_params(options: Dict[str, str], known: Tuple[str, ...]) -> Dict[str, float]:
+    """Unknown numeric ``--key value`` options become SolverParams entries.
+
+    The reference passes tuning through a ``SolverParams`` string->double map
+    (types.hpp:57); this lets any example CLI forward e.g. ``--fused=1``,
+    ``--boxqp=1`` or ``--step-limit=1`` to the solver the same way (dashes
+    map back to the underscore param names).  Non-numeric unknowns are
+    ignored, matching the reference parser's silence on unused options.
+    """
+    extra: Dict[str, float] = {}
+    for key, value in options.items():
+        if key in known:
+            continue
+        try:
+            extra[key.replace("-", "_")] = float(value)
+        except ValueError:
+            pass
+    return extra
+
+
 @dataclasses.dataclass
 class SolverOptions:
     solver: str = "ilqr"
     # Extension beyond the reference CLI: race N random warm starts as batch
     # lanes and keep the best (1 = reference behaviour).
     multistart: int = 1
+    extra_params: Dict[str, float] = dataclasses.field(default_factory=dict)
     show_help: bool = False
 
 
@@ -70,6 +91,7 @@ class MultiAgentOptions:
     # coupling weight (0 disables, reproducing the reference's uncoupled
     # agents).
     coupling: float = 0.0
+    extra_params: Dict[str, float] = dataclasses.field(default_factory=dict)
     show_help: bool = False
 
 
@@ -78,6 +100,7 @@ class RocketOptions:
     solver: str = "osqp"
     dump_traces: bool = False
     multistart: int = 1
+    extra_params: Dict[str, float] = dataclasses.field(default_factory=dict)
     show_help: bool = False
 
 
@@ -86,6 +109,7 @@ def parse_solver_options(argv: List[str]) -> SolverOptions:
     return SolverOptions(
         solver=options.get("solver", "ilqr"),
         multistart=int(options.get("multistart", 1)),
+        extra_params=_extra_params(options, ("solver", "multistart")),
         show_help=show_help,
     )
 
@@ -99,6 +123,9 @@ def parse_multi_agent_options(argv: List[str]) -> MultiAgentOptions:
         solver=options.get("solver", "ilqr"),
         strategy=options.get("strategy", "centralized"),
         coupling=float(options.get("coupling", 0.0)),
+        extra_params=_extra_params(
+            options, ("agents", "max-outer", "solver", "strategy", "coupling")
+        ),
         show_help=show_help,
     )
 
@@ -109,5 +136,6 @@ def parse_rocket_options(argv: List[str]) -> RocketOptions:
         solver=options.get("solver", "osqp"),
         dump_traces="dump" in options,
         multistart=int(options.get("multistart", 1)),
+        extra_params=_extra_params(options, ("solver", "dump", "multistart")),
         show_help=show_help,
     )

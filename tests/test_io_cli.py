@@ -107,6 +107,19 @@ class TestCLI:
         assert parse_rocket_options(["--multistart=8"]).multistart == 8
         assert parse_multi_agent_options(["--coupling", "25"]).coupling == 25.0
 
+    def test_extra_params_passthrough(self):
+        """Unknown numeric options become SolverParams entries (dashes map
+        back to underscore param names); non-numeric unknowns are ignored."""
+        opts = parse_solver_options(["--fused=1", "--step-limit", "2.5"])
+        assert opts.extra_params == {"fused": 1.0, "step_limit": 2.5}
+        opts = parse_multi_agent_options(
+            ["--coupling", "25", "--boxqp=1", "--name", "bob"]
+        )
+        assert opts.extra_params == {"boxqp": 1.0}
+        assert parse_rocket_options(["--step_limit=1"]).extra_params == {
+            "step_limit": 1.0
+        }
+
     def test_help_flag(self):
         assert parse_solver_options(["--help"]).show_help
         assert parse_multi_agent_options(["-h"]).show_help
