@@ -102,3 +102,45 @@ def run_mpc(
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return MPCTrace(states=states, controls=us, costs=costs, iterations=iters)
+
+
+def run_mpc_batched(
+    specs: OCPSpec,
+    batched_solve_fn: Callable[[OCPSpec], SolveResult],
+    n_steps: int,
+    plant_dynamics: Optional[Callable[[Array, Array], Array]] = None,
+    plant_dt: Optional[float] = None,
+    fill: str = "repeat",
+) -> MPCTrace:
+    """Closed-loop MPC for a whole fleet as one ``lax.scan``.
+
+    ``specs`` carries a leading batch axis ``[B, ...]`` and
+    ``batched_solve_fn`` solves the entire batch in one call (e.g.
+    ``solve_ilqr_batched``), so each receding-horizon step is ONE fused
+    batched solve instead of B independent ones -- the TPU-native shape of
+    the MPC fleet-simulation use case (``vmap(run_mpc)`` gives identical
+    semantics but routes each lane through the per-problem solver; this
+    entry keeps the batch together for the lane-resident fused loop).
+    Returns an :class:`MPCTrace` with a leading step axis and a batch axis:
+    states ``[N+1, B, nx]``, controls ``[N, B, nu]``, costs ``[N, B]``.
+    """
+    plant = plant_dynamics or specs.dynamics
+    dt = specs.dt if plant_dt is None else plant_dt
+    x0 = specs.initial_state                      # [B, nx]
+
+    def body(carry, _):
+        x, u_warm = carry                         # [B, nx], [B, T, nu]
+        result = batched_solve_fn(
+            specs.replace(initial_state=x, initial_controls=u_warm)
+        )
+        u0 = result.controls[:, 0]                # [B, nu]
+        warm = jax.vmap(lambda u: shift_warm_start(u, fill))(result.controls)
+        x_next = jax.vmap(lambda xx, uu: integrate_rk4(xx, uu, dt, plant))(x, u0)
+        outputs = (x_next, u0, result.cost, result.iterations)
+        return (x_next, warm), outputs
+
+    (_, _), (xs, us, costs, iters) = jax.lax.scan(
+        body, (x0, specs.initial_controls), None, length=n_steps
+    )
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return MPCTrace(states=states, controls=us, costs=costs, iterations=iters)

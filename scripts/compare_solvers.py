@@ -53,6 +53,9 @@ def parse_arguments(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--retries", type=int, default=1,
                         help="Re-run a cell on transient backend failures "
                              "(remote-TPU tunnels drop requests occasionally).")
+    parser.add_argument("--json", default=None,
+                        help="Also write every cell to this JSON artifact "
+                             "(the TPUMATRIX format).")
     return parser.parse_args(argv)
 
 
@@ -132,9 +135,34 @@ def print_table(title: str, rows: List[RunResult], with_strategy: bool) -> None:
             print(f"{r.solver:<18} {cost:>16} {t:>12}  {r.status}")
 
 
+def write_json(path: str, args, all_rows: List[RunResult]) -> None:
+    import datetime
+    import json
+
+    import jax
+
+    payload = {
+        "backend": jax.default_backend(),
+        "date": datetime.date.today().isoformat(),
+        "cells_total": len(all_rows),
+        "cells_ok": sum(r.status == "ok" for r in all_rows),
+        "agents": args.agents,
+        "max_outer": args.max_outer,
+        "cells": [
+            {"example": r.example, "strategy": r.strategy, "solver": r.solver,
+             "cost": r.cost, "time_ms": r.time_ms, "status": r.status}
+            for r in all_rows
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+
+
 def main(argv: Optional[Iterable[str]] = None) -> int:
     args = parse_arguments(argv)
     failed = False
+    all_rows: List[RunResult] = []
     for example in args.examples:
         rows: List[RunResult] = []
         if example in MULTI_AGENT_EXAMPLES:
@@ -148,6 +176,7 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
                             print_table(example, rows, True)
                             return 1
             print_table(example, rows, True)
+            all_rows.extend(rows)
         else:
             for solver in args.solvers:
                 r = run_example(example, args, solver, None)
@@ -158,6 +187,9 @@ def main(argv: Optional[Iterable[str]] = None) -> int:
                         print_table(example, rows, False)
                         return 1
             print_table(example, rows, False)
+            all_rows.extend(rows)
+    if args.json:
+        write_json(args.json, args, all_rows)
     return 1 if failed and args.fail_fast else 0
 
 

@@ -68,3 +68,39 @@ class TestMPC:
         trace = run_mpc(spec, _solve, n_steps=60, plant_dynamics=heavy_plant)
         Y = np.array(trace.states[:, 1])
         assert abs(Y[-1]) < 0.15
+
+
+class TestRunMPCBatched:
+    def test_matches_vmapped_run_mpc(self):
+        """The fleet entry (one batched solve per step) equals vmap(run_mpc)
+        when the batched solver is routed to the identical scan/XLA path."""
+        from multi_agent_solver_tpu.mpc import run_mpc_batched
+        from multi_agent_solver_tpu.solvers.ilqr import solve_ilqr_batched
+
+        spec = single_track_lane_ocp().spec()
+        y0 = jnp.array([0.5, 1.0, 1.5])
+        x0s = jnp.tile(spec.initial_state, (3, 1)).at[:, 1].set(y0)
+        specs = jax.vmap(lambda x0: spec.replace(initial_state=x0))(x0s)
+
+        fleet = jax.jit(
+            lambda: run_mpc_batched(
+                specs,
+                lambda s: solve_ilqr_batched(
+                    s, CONFIG, backward="scan", fused=False
+                ),
+                n_steps=12,
+            )
+        )()
+        ref = jax.jit(
+            jax.vmap(lambda x0: run_mpc(spec, _solve, n_steps=12, x0=x0))
+        )(x0s)
+        # run_mpc_batched is step-major [N+1, B, nx]; vmap(run_mpc) is
+        # batch-major [B, N+1, nx].
+        np.testing.assert_allclose(
+            np.array(fleet.states), np.array(ref.states).swapaxes(0, 1),
+            rtol=1e-6, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.array(fleet.costs), np.array(ref.costs).swapaxes(0, 1),
+            rtol=1e-6, atol=1e-8,
+        )
