@@ -101,6 +101,17 @@ class ILQRConfig:
     # 'on' also fuses coupled (context) and AL-constrained solves; 'off'
     # forces the kernel-per-phase path.  See solve_ilqr_batched.
     fused: str = "auto"
+    # Reverse-mode differentiable solve (param ``differentiable``): the outer
+    # while_loop becomes a bounded, rematerialized fori_loop (converged
+    # instances freeze), so ``jax.grad`` flows through the returned
+    # trajectory/cost into every problem parameter (initial state, cost
+    # weights, dynamics constants) -- learned-cost tuning and differentiable
+    # MPC.  Unrolled differentiation of the optimizer: exact for the program
+    # actually run, memory O(sqrt-ish) via jax.checkpoint on the iteration
+    # body.  Batched solves route through vmap of the scan path (the Pallas
+    # kernels define no VJP).  No reference counterpart (C++/Eigen cannot
+    # differentiate through a solver).
+    differentiable: bool = False
     debug: bool = False
 
     @classmethod
@@ -125,6 +136,7 @@ class ILQRConfig:
                 "auto" if "fused" not in params
                 else ("on" if param_flag(params, "fused") else "off")
             ),
+            differentiable=param_flag(params, "differentiable"),
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -452,9 +464,27 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
     init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False), zero, zero,
             jnp.asarray(False))
-    xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    if config.differentiable:
+        # Bounded, rematerialized loop: reverse-differentiable (while_loop
+        # is not), identical fixed point -- converged state is frozen by the
+        # same predicate the while_loop uses to exit.
+        iter_body = jax.checkpoint(body)
+
+        def fori_body(_, state):
+            new_state = iter_body(state)
+            keep = cond(state)
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, n, o), new_state, state
+            )
+
+        final = jax.lax.fori_loop(
+            0, config.max_iterations, fori_body, init
+        )
+        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = final
+    else:
+        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = (
+            jax.lax.while_loop(cond, body, init)
+        )
     return SolveResult(
         states=xs,
         controls=us,
@@ -917,6 +947,12 @@ def solve_ilqr_batched(
     T = specs.horizon_steps
     dtype = specs.initial_state.dtype
     nx, nu = specs.state_dim, specs.control_dim
+
+    if config.differentiable:
+        # Reverse-differentiable batched solve: vmap the scan-path unrolled
+        # loop (Pallas kernels define no VJP, and the fused driver's masked
+        # while_loop is not reverse-differentiable either).
+        return jax.vmap(lambda s: solve_ilqr(s, config))(specs)
 
     if fused == "auto" and config.fused != "auto":
         # Config-level routing (param ``fused``): 'on' also fuses coupled /
