@@ -32,6 +32,8 @@ import dataclasses
 import functools
 from typing import Any, Callable, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -222,6 +224,75 @@ def with_context_cost(spec: OCPSpec, stage_cost_ctx: Callable) -> OCPSpec:
         fu=spec.derivs.fu,
     )
     return spec.replace(stage_cost=stage_cost_ctx, derivs=derivs)
+
+
+@functools.lru_cache(maxsize=None)
+def _state_bound_ineq_fns(base_fn, lb_key, ub_key, mode):
+    """Memoized constraint fn (+ Jacobian oracles) stacking finite
+    state-bound rows ``x_i - ub_i <= 0`` / ``lb_i - x_i <= 0`` under any
+    existing inequality constraints.  Keys are concrete float tuples so
+    problems sharing bounds share identical spec statics."""
+    import numpy as _np
+
+    ub_rows = tuple(
+        (i, v) for i, v in enumerate(ub_key or ()) if _np.isfinite(v)
+    )
+    lb_rows = tuple(
+        (i, v) for i, v in enumerate(lb_key or ()) if _np.isfinite(v)
+    )
+    extra = len(ub_rows) + len(lb_rows)
+    if extra == 0:
+        return None, None, None, 0
+
+    def g(x, u):
+        # Works on both per-problem vectors ([nx]) and lane-shaped kernel
+        # values ([nx, 8, 128]): rows inherit x[i]'s shape.
+        parts = []
+        if base_fn is not None:
+            b = base_fn(x, u)
+            if b.ndim == 1 and x.ndim > 1:   # lift lane-collapsed base rows
+                b = b.reshape(b.shape + (1,) * (x.ndim - 1)) + x[0] * 0.0
+            parts.append(b)
+        rows = [x[i] - v for i, v in ub_rows] + [v - x[i] for i, v in lb_rows]
+        parts.append(jnp.stack(rows, axis=0))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    if mode == "ad":
+        gx = jax.jacfwd(g, argnums=0)
+        gu = jax.jacfwd(g, argnums=1)
+    else:
+        from .finite_differences import fd_jacobian
+
+        gx = lambda x, u: fd_jacobian(lambda y: g(y, u), x, eps=1e-6)
+        gu = lambda x, u: fd_jacobian(lambda w: g(x, w), u, eps=1e-6)
+    return g, gx, gu, extra
+
+
+def with_state_bound_constraints(spec: OCPSpec) -> OCPSpec:
+    """Fold the spec's finite state bounds into its inequality constraints.
+
+    The reference enforces state bounds only in the QP solvers; its iLQR and
+    CGD silently ignore them (rocket_max_altitude.cpp:122-128 documents
+    this).  This transform makes them visible to the AL machinery instead
+    (solver param ``state_bounds_al=1``), turning each finite bound entry
+    into a PHR inequality row.  Statics are memoized on (base constraint,
+    bound values, mode), so repeated solves share one compiled program.
+    """
+    lb, ub = spec.state_lower_bounds, spec.state_upper_bounds
+    if lb is None and ub is None:
+        return spec
+    lb_key = None if lb is None else tuple(float(v) for v in np.asarray(lb))
+    ub_key = None if ub is None else tuple(float(v) for v in np.asarray(ub))
+    g, gx, gu, extra = _state_bound_ineq_fns(
+        spec.inequality_constraints, lb_key, ub_key, spec.derivative_mode
+    )
+    if extra == 0:
+        return spec
+    return spec.replace(
+        inequality_constraints=g,
+        ineq_dim=spec.ineq_dim + extra,
+        derivs=spec.derivs.replace(ineq_gx=gx, ineq_gu=gu),
+    )
 
 
 class OCP:

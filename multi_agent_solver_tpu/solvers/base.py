@@ -147,7 +147,14 @@ class SolverBase:
         back into the problem, like the reference's mutating ``solve(OCP&)``."""
         if getattr(self.config, "enforce_max_ms", False):
             arm_deadline(getattr(self.config, "max_ms", 0.0))
-        result = self.solve_spec(problem.spec())
+        spec = problem.spec()
+        if getattr(self.config, "state_bounds_al", False):
+            # Opt-in: fold finite state bounds into AL inequality rows (the
+            # reference's iLQR/CGD ignore state bounds entirely).
+            from ..ocp import with_state_bound_constraints
+
+            spec = with_state_bound_constraints(spec)
+        result = self.solve_spec(spec)
         problem.set_result(result.states, result.controls, result.cost)
         return result
 

@@ -54,6 +54,9 @@ class CGDConfig:
     gradient_mode: str = "ad"  # 'ad' (exact, fast) or 'fd' (reference parity)
     max_ms: float = 0.0            # host deadline; ignored unless enforced
     enforce_max_ms: bool = False
+    # Opt-in host-path transform: fold finite state bounds into AL
+    # inequality rows (the reference's CGD ignores state bounds).
+    state_bounds_al: bool = False
     debug: bool = False
 
     @classmethod
@@ -64,6 +67,7 @@ class CGDConfig:
             gradient_mode="fd" if param_flag(params, "fd_gradient") else "ad",
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
+            state_bounds_al=param_flag(params, "state_bounds_al"),
             debug=param_flag(params, "debug"),
         )
 

@@ -112,6 +112,10 @@ class ILQRConfig:
     # kernels define no VJP).  No reference counterpart (C++/Eigen cannot
     # differentiate through a solver).
     differentiable: bool = False
+    # Opt-in host-path transform: fold finite state bounds into AL
+    # inequality rows (param ``state_bounds_al``); the reference's iLQR
+    # ignores state bounds entirely (rocket_max_altitude.cpp:122-128).
+    state_bounds_al: bool = False
     debug: bool = False
 
     @classmethod
@@ -137,6 +141,7 @@ class ILQRConfig:
                 else ("on" if param_flag(params, "fused") else "off")
             ),
             differentiable=param_flag(params, "differentiable"),
+            state_bounds_al=param_flag(params, "state_bounds_al"),
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
