@@ -57,6 +57,9 @@ class CGDConfig:
     # Opt-in host-path transform: fold finite state bounds into AL
     # inequality rows (the reference's CGD ignores state bounds).
     state_bounds_al: bool = False
+    # Reverse-mode differentiable solve: bounded rematerialized fori_loop
+    # instead of while_loop (see solvers/ilqr.py ILQRConfig.differentiable).
+    differentiable: bool = False
     debug: bool = False
 
     @classmethod
@@ -68,6 +71,7 @@ class CGDConfig:
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             state_bounds_al=param_flag(params, "state_bounds_al"),
+            differentiable=param_flag(params, "differentiable"),
             debug=param_flag(params, "debug"),
         )
 
@@ -157,9 +161,24 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
 
     init = (us0, xs0, aug0, eq_mult0, ineq_mult0, rho0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False), jnp.asarray(False))
-    us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged, _ = jax.lax.while_loop(
-        cond, body, init
-    )
+    if config.differentiable:
+        # Reverse-differentiable bounded loop with the identical fixed point
+        # (see solve_ilqr): converged state frozen by the while predicate.
+        iter_body = jax.checkpoint(body)
+
+        def fori_body(_, state):
+            new_state = iter_body(state)
+            keep = cond(state)
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(keep, n, o), new_state, state
+            )
+
+        final = jax.lax.fori_loop(0, config.max_iterations, fori_body, init)
+        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged, _ = final
+    else:
+        us, xs, aug_cost, eq_mult, ineq_mult, rho, it, converged, _ = (
+            jax.lax.while_loop(cond, body, init)
+        )
 
     # The reference reports best_cost as the AL-augmented cost it tracked
     # (cgd.hpp:61, 97-102).  We report the same for parity.

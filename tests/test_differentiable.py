@@ -105,3 +105,28 @@ class TestDifferentiable:
         solver.set_params({"max_iterations": 5, "tolerance": 1e-6,
                            "max_ms": 1e9, "differentiable": 1})
         assert solver.config.differentiable is True
+
+
+class TestDifferentiableCGD:
+    def test_cgd_forward_parity_and_grad(self):
+        from multi_agent_solver_tpu.solvers.cgd import CGDConfig, solve_cgd
+
+        spec = _spec()
+        cfg = CGDConfig(max_iterations=25, tolerance=1e-10)
+        dcfg = dataclasses.replace(cfg, differentiable=True)
+        base = solve_cgd(spec, cfg)
+        diff = solve_cgd(spec, dcfg)
+        np.testing.assert_array_equal(
+            np.asarray(base.controls), np.asarray(diff.controls)
+        )
+        assert float(base.cost) == float(diff.cost)
+
+        def optimal_cost(x0):
+            return solve_cgd(spec.replace(initial_state=x0), dcfg).cost
+
+        x0 = spec.initial_state
+        g = jax.grad(optimal_cost)(x0)
+        eps = 1e-5
+        e = jnp.zeros_like(x0).at[1].set(eps)
+        fd = (optimal_cost(x0 + e) - optimal_cost(x0 - e)) / (2 * eps)
+        np.testing.assert_allclose(float(g[1]), float(fd), rtol=2e-3)
