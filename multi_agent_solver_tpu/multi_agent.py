@@ -217,13 +217,17 @@ class MultiAgentProblem:
     def scatter_global_result(self, global_ocp: OCP) -> None:
         """Scatter joint best trajectories back into each agent's OCP and
         recompute per-agent costs (reference: centralized.hpp:27-36)."""
-        X = global_ocp.best_states
-        U = global_ocp.best_controls
+        import numpy as np
+
+        # One host fetch; per-agent slices of a device array each dispatch a
+        # device op (a round-trip over remote backends).
+        X = np.asarray(global_ocp.best_states)
+        U = np.asarray(global_ocp.best_controls)
         for b in self.blocks:
             xs, xe = b.state_offset, b.state_offset + b.state_dim
             us, ue = b.control_offset, b.control_offset + b.control_dim
             agent_ocp = b.agent.ocp
             states = X[:, xs:xe]
             controls = U[:, us:ue]
-            cost = cost_of(agent_ocp.spec(), states, controls)
-            agent_ocp.set_result(states, controls, cost)
+            cost = cost_of(agent_ocp.spec(), jnp.asarray(states), jnp.asarray(controls))
+            agent_ocp.set_result(states, controls, float(cost))

@@ -51,20 +51,38 @@ def stack_agent_specs(problem: MultiAgentProblem) -> OCPSpec:
 
 
 def scatter_stacked_results(problem: MultiAgentProblem, states, controls, costs) -> None:
-    """Write lane i of the stacked result back into agent i's OCP."""
+    """Write lane i of the stacked result back into agent i's OCP.
+
+    Fetches each stacked array to the host ONCE: indexing a device array
+    per agent dispatches a dynamic-slice (a device round-trip each, ~3 ms
+    over a remote tunnel), which made the host API O(N) in round-trips --
+    40 s of scatter for a 1024-agent sweep whose device compute is <1 s.
+    """
+    import numpy as np
+
+    states = np.asarray(states)
+    controls = np.asarray(controls)
+    costs = np.asarray(costs)
     for i, block in enumerate(problem.blocks):
-        block.agent.ocp.set_result(states[i], controls[i], costs[i])
+        block.agent.ocp.set_result(states[i], controls[i], float(costs[i]))
 
 
 def collect_solution(problem: MultiAgentProblem) -> Solution:
-    """Gather per-agent best trajectories (reference: nash.hpp:23-37)."""
+    """Gather per-agent best trajectories (reference: nash.hpp:23-37).
+
+    ``total_cost`` accumulates as a host float: per-agent device-scalar
+    adds are one round-trip each on remote backends (see
+    scatter_stacked_results).
+    """
     sol = Solution()
+    total = 0.0
     for block in problem.blocks:
         ocp = block.agent.ocp
         sol.states.append(ocp.best_states)
         sol.controls.append(ocp.best_controls)
         sol.costs.append(ocp.best_cost)
-        sol.total_cost += ocp.best_cost
+        total += float(ocp.best_cost)
+    sol.total_cost = total
     return sol
 
 

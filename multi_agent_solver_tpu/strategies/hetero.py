@@ -302,8 +302,10 @@ def scatter_padded_results(
     """Slice lane i's padded result back to agent i's true dimensions."""
     states = np.asarray(states)
     controls = np.asarray(controls)
+    costs = np.asarray(costs)   # one transfer, not one slice-dispatch per agent
     for i, block in enumerate(problem.blocks):
         nx, nu = meta.state_dims[i], meta.control_dims[i]
         block.agent.ocp.set_result(
-            jnp.asarray(states[i, :, :nx]), jnp.asarray(controls[i, :, :nu]), costs[i]
+            jnp.asarray(states[i, :, :nx]), jnp.asarray(controls[i, :, :nu]),
+            float(costs[i]),
         )

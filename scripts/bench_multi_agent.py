@@ -78,6 +78,50 @@ def bench(n_agents: int, n_scenarios: int, iters: int = 5):
     }))
 
 
+def bench_coupled(n_agents: int, max_outer: int = 10, reps: int = 5,
+                  coupling: float = 25.0, neighbors=None):
+    """Coupled (true Nash) Jacobi sweeps: every agent best-responds against
+    the others' frozen plans via the inter-agent collision cost -- the
+    auto-fused coupled path (a capability the reference lacks entirely)."""
+    from multi_agent_solver_tpu.examples.multi_agent_single_track import (
+        build_problem,
+    )
+    from multi_agent_solver_tpu.solvers import make_solver
+    from multi_agent_solver_tpu.strategies import make_strategy
+    from multi_agent_solver_tpu.strategies import solve as solve_strategy
+
+    problem = build_problem(n_agents, coupling=coupling)
+    if neighbors is not None:
+        problem.coupling_neighbors = neighbors
+    params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1e9}
+    strategy = make_strategy("sequential", make_solver("ilqr"), params, max_outer)
+
+    base_x0 = [np.asarray(b.agent.ocp.initial_state) for b in problem.blocks]
+    solution = solve_strategy(strategy, problem)       # warmup/compile
+    acc = float(solution.total_cost) * 1e-12
+    times = []
+    for _ in range(reps):
+        for b, x0b in zip(problem.blocks, base_x0):
+            b.agent.ocp.initial_state = jnp.asarray(x0b + acc)
+            b.agent.ocp.initialize_problem()
+        t0 = time.perf_counter()
+        solution = solve_strategy(strategy, problem)
+        acc = float(solution.total_cost) * 1e-12       # host sync
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(json.dumps({
+        "metric": "coupled_nash_agent_solves_per_s",
+        "agents": n_agents,
+        "max_outer": max_outer,
+        "coupling_neighbors": neighbors,
+        "wall_ms": round(dt * 1e3, 2),
+        "agent_solves_per_s": round(n_agents * max_outer / dt, 1),
+        "total_cost": round(float(solution.total_cost), 4),
+    }))
+
+
 if __name__ == "__main__":
     for n_agents, n_scenarios in [(10, 1), (64, 1), (1024, 1), (64, 64), (256, 16)]:
         bench(n_agents, n_scenarios)
+    for n_agents, neighbors in [(10, None), (64, None), (256, 8), (1024, 8)]:
+        bench_coupled(n_agents, neighbors=neighbors)
