@@ -15,4 +15,5 @@ run pendulum_swing_up --solver ilqr
 run rocket_max_altitude --solver cgd
 run multi_agent_lqr --agents 3 --strategy sequential
 run multi_agent_single_track --agents 4 --strategy trustregion
+run single_track_mpc --steps 30
 echo "all examples ran"
