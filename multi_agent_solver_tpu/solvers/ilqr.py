@@ -89,6 +89,18 @@ class ILQRConfig:
     # box-constrained QP exactly (ops/boxqp.py) and zeroes feedback rows of
     # clamped dims; escapes the bound-corner stalls the clamp can hit.
     bound_mode: str = "clamp"
+    # Full second-order DDP (param ``ddp``): add the exact dynamics-Hessian
+    # terms ``V_x . F_(xx|ux|uu)`` of the discrete step map to the Q-expansion
+    # (the reference -- and default -- is the Gauss-Newton/iLQR variant that
+    # drops them, ilqr.hpp:115-119), with Tassa-style adaptive-mu state
+    # regularization to keep the gains descent directions when the curvature
+    # is indefinite.  Newton-exact per stage (tests/test_ddp.py), identical
+    # on affine-dynamics (LQR) problems, and quadratically convergent near
+    # the optimum -- but often SLOWER than Gauss-Newton far from it (the
+    # single-track's near-uncontrollable v=0 start is a worst case), which
+    # is why Gauss-Newton stays the default.  Requires the default
+    # 'discrete' Jacobian mode; scan backward only.
+    ddp: bool = False
     # User declaration that the stage/terminal costs are quadratic in (x, u)
     # (for a fixed context): their Hessian stacks lxx/luu/lux/phixx are then
     # trajectory-independent, so they are evaluated ONCE before the outer
@@ -135,6 +147,7 @@ class ILQRConfig:
                 "continuous" if param_flag(params, "continuous_jacobians") else "discrete"
             ),
             bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
+            ddp=param_flag(params, "ddp"),
             quadratic_cost=param_flag(params, "quadratic_cost"),
             fused=(
                 "auto" if "fused" not in params
@@ -204,6 +217,15 @@ def _linearize(
     else:
         A = jax.vmap(d.fx)(x, u)      # [T, nx, nx] continuous (reference parity)
         B = jax.vmap(d.fu)(x, u)      # [T, nx, nu]
+    hess_dyn = None
+    if getattr(config, "ddp", False):
+        # Exact second derivatives of the discrete step map for the full-DDP
+        # Q-expansion (forward-over-forward AD through the integrator).
+        step = lambda xx, uu: integrate_rk4(xx, uu, spec.dt, spec.dynamics)
+        Fxx = jax.vmap(jax.jacfwd(jax.jacfwd(step, 0), 0))(x, u)  # [T,nx,nx,nx]
+        Fux = jax.vmap(jax.jacfwd(jax.jacfwd(step, 1), 0))(x, u)  # [T,nx,nu,nx]
+        Fuu = jax.vmap(jax.jacfwd(jax.jacfwd(step, 1), 1))(x, u)  # [T,nx,nu,nu]
+        hess_dyn = (Fxx, Fux, Fuu)
     # Cost derivative oracles forward any extra context argument unchanged.
     cost_args = (x, u, ts) if spec.context is None else (x, u, ts, spec.context)
     lx = jax.vmap(d.lx)(*cost_args)     # [T, nx]
@@ -214,6 +236,8 @@ def _linearize(
         lxx = jax.vmap(d.lxx)(*cost_args)   # [T, nx, nx]
         luu = jax.vmap(d.luu)(*cost_args)   # [T, nu, nu]
         lux = jax.vmap(d.lux)(*cost_args)   # [T, nu, nx]
+    if hess_dyn is not None:
+        return A, B, lx, lu, lxx, luu, lux, hess_dyn
     return A, B, lx, lu, lxx, luu, lux
 
 
@@ -269,7 +293,8 @@ def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mul
 
 
 def _backward_pass(
-    spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None, phixx_const=None
+    spec, config, xs, A, B, lx, lu, lxx, luu, lux, us=None, phixx_const=None,
+    hess_dyn=None, mu0=None,
 ):
     """Riccati recursion as a reverse scan (reference loop: ilqr.hpp:104-193).
 
@@ -294,9 +319,14 @@ def _backward_pass(
     scan_inputs = (A, B, lx, lu, lxx, luu, lux)
     if use_boxqp:
         scan_inputs = scan_inputs + (us,)
+    if hess_dyn is not None:
+        scan_inputs = scan_inputs + hess_dyn
 
     def step(carry, inputs):
         v_x, v_xx = carry
+        Fxx_t = Fux_t = Fuu_t = None
+        if hess_dyn is not None:
+            inputs, (Fxx_t, Fux_t, Fuu_t) = inputs[:-3], inputs[-3:]
         if use_boxqp:
             A_t, B_t, lx_t, lu_t, lxx_t, luu_t, lux_t, u_t = inputs
         else:
@@ -306,6 +336,46 @@ def _backward_pass(
         q_xx = lxx_t + A_t.T @ v_xx @ A_t
         q_ux = lux_t + B_t.T @ v_xx @ A_t
         q_uu = luu_t + B_t.T @ v_xx @ B_t
+        if Fxx_t is not None:
+            # Full DDP: V_x-weighted dynamics curvature (dropped by iLQR and
+            # by the reference, ilqr.hpp:115-119).
+            q_xx = q_xx + jnp.einsum("i,ijk->jk", v_x, Fxx_t)
+            q_ux = q_ux + jnp.einsum("i,iaj->aj", v_x, Fux_t)
+            q_uu = q_uu + jnp.einsum("i,iab->ab", v_x, Fuu_t)
+
+            # Tassa-style state regularization (Tassa et al. 2012): far from
+            # the optimum the curvature terms make q_uu indefinite, and a
+            # plain q_uu + mu*I ladder yields gains that are not descent
+            # directions for the merit -- the line search then rejects
+            # everything and the solver stalls.  Regularizing THROUGH the
+            # dynamics (mu B^T B on q_uu, mu B^T A on q_ux) is equivalent to
+            # V_xx + mu*I and keeps the gains consistent.
+            from ..ops.small import leading_minors_positive, solve_spd_small
+
+            j = jnp.arange(config.reg_levels, dtype=q_uu.dtype)
+            levels = config.reg_init * (config.reg_factor**j - 1.0) / (
+                config.reg_factor - 1.0
+            )
+            if mu0 is not None:
+                # Outer-loop adapted floor: raised after a failed line
+                # search, lowered after acceptance (Tassa's mu schedule).
+                levels = levels + mu0
+            eye_u = jnp.eye(q_uu.shape[0], dtype=q_uu.dtype)
+            BtB = B_t.T @ B_t + 1e-12 * eye_u
+            cands = q_uu[None] + levels[:, None, None] * BtB
+            ok = leading_minors_positive(cands)
+            idx = jnp.where(jnp.any(ok), jnp.argmax(ok), config.reg_levels - 1)
+            mu = levels[idx]
+            q_uu_r = q_uu + mu * BtB
+            q_ux_r = q_ux + mu * (B_t.T @ A_t)
+            rhs = jnp.concatenate([q_u[:, None], q_ux_r], axis=1)
+            sol = solve_spd_small(q_uu_r, rhs)
+            k_t = -sol[:, 0]
+            K_t = -sol[:, 1:]
+            v_x_new = q_x + K_t.T @ q_u + q_ux.T @ k_t + K_t.T @ (q_uu @ k_t)
+            v_xx_new = q_xx + K_t.T @ q_ux + q_ux.T @ K_t + K_t.T @ q_uu @ K_t
+            v_xx_new = 0.5 * (v_xx_new + v_xx_new.T)
+            return (v_x_new, v_xx_new), (k_t, K_t)
 
         if use_boxqp:
             from ..ops.boxqp import boxqp_gains
@@ -404,18 +474,22 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         return (it < config.max_iterations) & ~converged & ~timed_out
 
     def body(state):
-        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, _, _, _ = state
+        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, _, _, _ = state[:12]
+        mu = state[12] if config.ddp else None
 
         # Fresh merit under the CURRENT multipliers/penalty (see module
         # docstring: fixes the reference's stale-merit deadlock).
         merit = compute_merit(spec, config, xs, us, eq_mult, ineq_mult, rho)
 
-        A, B, lx, lu, lxx, luu, lux = _linearize(spec, config, xs, us, hess0)
+        lin = _linearize(spec, config, xs, us, hess0)
+        A, B, lx, lu, lxx, luu, lux = lin[:7]
+        hess_dyn = lin[7] if len(lin) > 7 else None
         lx, lu, lxx, luu, lux = _add_al_terms(
             spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho
         )
         k, K = _backward_pass(
-            spec, config, xs, A, B, lx, lu, lxx, luu, lux, us, phixx_const=phixx0
+            spec, config, xs, A, B, lx, lu, lxx, luu, lux, us,
+            phixx_const=phixx0, hess_dyn=hess_dyn, mu0=mu,
         )
         xs_new, us_new, merit_new = _forward_pass(
             spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, merit
@@ -448,6 +522,18 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
             & (eq_viol < config.constraint_tolerance)
             & (ineq_viol < config.constraint_tolerance)
         )
+        if config.ddp:
+            # Tassa mu schedule: a failed line search is NOT convergence --
+            # raise mu and redo the (more conservative) backward pass from
+            # the same iterate; lower mu after acceptance.  Converge only on
+            # an ACCEPTED step with tiny improvement, or when mu saturates.
+            accepted = merit_new < merit
+            mu_next = jnp.where(
+                accepted, mu * 0.5, jnp.maximum(mu, 1e-6) * 10.0
+            )
+            converged = (
+                (accepted & converged) | (~accepted & (mu > 1e8))
+            )
         if config.debug:  # per-iteration trace (reference: ilqr.hpp:262-267)
             jax.debug.print(
                 "iLQR iter {it}: cost={c} merit={m} d_merit={d} "
@@ -460,15 +546,20 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
             timed_out = deadline_exceeded()
         else:
             timed_out = jnp.asarray(False)
-        return (
+        out = (
             xs_new, us_new, cost_new, merit_new, eq_mult, ineq_mult, rho,
             it + 1, converged, eq_viol, ineq_viol, timed_out,
         )
+        if config.ddp:
+            out = out + (mu_next,)
+        return out
 
     zero = jnp.asarray(0.0, dtype)
     init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False), zero, zero,
             jnp.asarray(False))
+    if config.ddp:
+        init = init + (zero,)   # adaptive mu
     if config.differentiable:
         # Bounded, rematerialized loop: reverse-differentiable (while_loop
         # is not), identical fixed point -- converged state is frozen by the
@@ -485,11 +576,12 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
         final = jax.lax.fori_loop(
             0, config.max_iterations, fori_body, init
         )
-        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = final
+        (xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged,
+         eqv, inv, _) = final[:12]
     else:
-        xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv, _ = (
-            jax.lax.while_loop(cond, body, init)
-        )
+        final = jax.lax.while_loop(cond, body, init)
+        (xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged,
+         eqv, inv, _) = final[:12]
     return SolveResult(
         states=xs,
         controls=us,
@@ -966,6 +1058,9 @@ def solve_ilqr_batched(
 
     if backward == "auto":
         backward = "pallas" if (nx <= 8 and nu <= 4) else "scan"
+    if config.ddp:
+        backward = "scan"   # dynamics-Hessian terms live on the scan path
+        fused = False
     use_boxqp = config.bound_mode == "boxqp" and specs.has_input_bounds
     if use_boxqp and backward == "assoc":
         backward = "scan"   # the time-parallel pass has no box-QP stage solve
@@ -1060,7 +1155,8 @@ def solve_ilqr_batched(
         return (it < config.max_iterations) & jnp.any(~converged)
 
     def body(state):
-        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state
+        xs, us, cost, _, eq_mult, ineq_mult, rho, it, converged, eqv, inv = state[:11]
+        mu = state[11] if config.ddp else None
         active = ~converged
 
         # Fresh merit under current multipliers (see solve_ilqr body).
@@ -1082,9 +1178,11 @@ def solve_ilqr_batched(
                 v.astype(dtype) for v in (lx, lu, lxx, luu, lux)
             )
         else:
-            A, Bm, lx, lu, lxx, luu, lux = jax.vmap(
+            lin = jax.vmap(
                 lambda s, x, u, h: _linearize(s, config, x, u, h)
             )(specs, xs, us, hess0)
+            A, Bm, lx, lu, lxx, luu, lux = lin[:7]
+            hess_dyn = lin[7] if len(lin) > 7 else None
         lx, lu, lxx, luu, lux = jax.vmap(
             lambda s, x, u, a, b, c, d, e, em, im, r: _add_al_terms(
                 s, config, x, u, a, b, c, d, e, em, im, r
@@ -1112,11 +1210,20 @@ def solve_ilqr_batched(
                 A, Bm, lx, lu, lxx, luu, lux, phix, phixx, reg=config.reg_init
             )
         else:
-            k, K = jax.vmap(
-                lambda s, x, a, b, c, d, e, f, g, u, p: _backward_pass(
-                    s, config, x, a, b, c, d, e, f, g, u, phixx_const=p
-                )
-            )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us, phixx0)
+            if config.ddp:
+                k, K = jax.vmap(
+                    lambda s, x, a, b, c, d, e, f, g, u, p, hd, m: _backward_pass(
+                        s, config, x, a, b, c, d, e, f, g, u,
+                        phixx_const=p, hess_dyn=hd, mu0=m,
+                    )
+                )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us, phixx0,
+                  hess_dyn, mu)
+            else:
+                k, K = jax.vmap(
+                    lambda s, x, a, b, c, d, e, f, g, u, p: _backward_pass(
+                        s, config, x, a, b, c, d, e, f, g, u, phixx_const=p
+                    )
+                )(specs, xs, A, Bm, lx, lu, lxx, luu, lux, us, phixx0)
 
         if lane_forward:
             from ..ops.forward_select_pallas import forward_select_pallas
@@ -1184,8 +1291,17 @@ def solve_ilqr_batched(
             & (eq_viol < config.constraint_tolerance)
             & (ineq_viol < config.constraint_tolerance)
         )
+        if config.ddp:
+            # Per-lane Tassa mu schedule (see solve_ilqr).
+            accepted = merit_new < merit
+            mu_next = jnp.where(
+                accepted, mu * 0.5, jnp.maximum(mu, 1e-6) * 10.0
+            )
+            newly_converged = (
+                (accepted & newly_converged) | (~accepted & (mu > 1e8))
+            )
 
-        return (
+        out = (
             mask(xs_new, xs, active),
             mask(us_new, us, active),
             mask(cost_new, cost, active),
@@ -1198,12 +1314,18 @@ def solve_ilqr_batched(
             mask(eq_viol, eqv, active),
             mask(ineq_viol, inv, active),
         )
+        if config.ddp:
+            out = out + (mask(mu_next, mu, active),)
+        return out
 
     zeros = jnp.zeros((B,), dtype)
     init = (xs0, us0, cost0, merit0, eq_mult0, ineq_mult0, rho0,
             jnp.asarray(0, jnp.int32), jnp.zeros((B,), bool), zeros, zeros)
+    if config.ddp:
+        init = init + (zeros,)   # per-lane adaptive mu
+    final = jax.lax.while_loop(cond, body, init)
     xs, us, cost, merit, eq_mult, ineq_mult, rho, it, converged, eqv, inv = (
-        jax.lax.while_loop(cond, body, init)
+        final[:11]
     )
     return SolveResult(
         states=xs, controls=us, cost=cost,
