@@ -12,6 +12,7 @@ from .single_track import (
     single_track_state_jacobian,
     single_track_control_jacobian,
 )
+from .dynamic_bicycle import dynamic_bicycle_model
 from .lqr import make_linear_dynamics, quadratic_stage_cost, quadratic_terminal_cost
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "make_rocket_dynamics",
     "make_rocket_state_jacobian",
     "make_rocket_control_jacobian",
+    "dynamic_bicycle_model",
     "single_track_model",
     "single_track_state_jacobian",
     "single_track_control_jacobian",

@@ -45,21 +45,36 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+# Modules executed in a fresh subprocess during full-suite runs (see
+# pytest_collection_modifyitems below and tests/test_zz_quarantined.py).
+# Alphabetically these are the back half of the suite: the ones that land
+# after the XLA:CPU backend's ~40-minute single-process heap-corruption
+# window.  Keep this list in sync with test_zz_quarantined.QUARANTINED.
+QUARANTINED_MODULES = (
+    "test_qp_parity", "test_qp_scale", "test_qp_solvers",
+    "test_quadratic_cost", "test_riccati_assoc", "test_state_bounds_al",
+    "test_strategies", "test_traj_qp", "test_warm_workspace",
+)
+
+
 def pytest_collection_modifyitems(session, config, items):
-    """Quarantine test_warm_workspace into a fresh subprocess in full runs.
+    """Quarantine the suite's back half into a fresh subprocess in full runs.
 
     The environment's XLA:CPU backend corrupts its heap over long
     single-process sessions; after ~40 minutes of compiles the NEXT
-    ``backend_compile`` segfaults, and in a full-suite run that next
-    compile deterministically lands in test_warm_workspace (alphabetically
-    last, with fresh warm-variant executables).  The tests themselves are
-    sound -- they pass in any fresh process, including a subprocess spawned
-    at the end of the full run (tests/test_zz_quarantined.py).  Small
-    selections (under the threshold) run them in-process as usual.
+    ``backend_compile`` segfaults.  In round 1 that landed in
+    test_warm_workspace (then alphabetically last with fresh executables);
+    as the suite grew the crash moved earlier (test_qp_solvers as of round
+    2), so the whole back half now re-runs in a clean interpreter, where
+    it always passes (tests/test_zz_quarantined.py).  Small selections
+    (under the threshold) run in-process as usual.
     """
     import pytest
 
-    ww = [i for i in items if "test_warm_workspace" in i.nodeid]
+    ww = [
+        i for i in items
+        if any(mod in i.nodeid for mod in QUARANTINED_MODULES)
+    ]
     if ww and len(items) > len(ww) + 50:
         marker = pytest.mark.skip(
             reason="full-suite run: executed in a fresh subprocess by "
