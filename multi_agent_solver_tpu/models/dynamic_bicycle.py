@@ -16,11 +16,13 @@ State ``(X, Y, psi, vx, vy, r)``, control ``(delta, ax)``:
     r_dot   = (lf Fyf cos(delta) - lr Fyr)/Iz
 
 with linear-tire lateral forces ``Fyf = Caf alpha_f``, ``Fyr = Car alpha_r``
-and slip angles computed against a floored longitudinal speed
-(``max(vx, V_EPS)``) so the model stays finite through standstill -- the
-same guarding idea the reference applies to the rocket's mass singularity
-(rocket_model.hpp ``max(m, 1e-6)``), chosen here to keep the dynamics
-lane-traceable and smooth for AD.
+and small-angle slip ``alpha_f = delta - (vy + lf r)/max(vx, V_EPS)`` (the
+standard linear-tire form; the speed floor keeps the model finite through
+standstill, the same guarding idea the reference applies to the rocket's
+mass singularity, rocket_model.hpp ``max(m, 1e-6)``).  The ratio form --
+rather than ``arctan`` of it -- is both the textbook linear-tire model and
+what keeps the dynamics lowerable inside the fused Pallas kernels (Mosaic
+has no ``atan`` primitive).
 """
 
 from __future__ import annotations
@@ -42,8 +44,8 @@ def dynamic_bicycle_model(x: Array, u: Array) -> Array:
     psi, vx, vy, r = x[2], x[3], x[4], x[5]
     delta, ax = u[0], u[1]
     vx_safe = jnp.maximum(vx, V_EPS)
-    alpha_f = delta - jnp.arctan((vy + LF * r) / vx_safe)
-    alpha_r = -jnp.arctan((vy - LR * r) / vx_safe)
+    alpha_f = delta - (vy + LF * r) / vx_safe
+    alpha_r = -(vy - LR * r) / vx_safe
     fyf = CAF * alpha_f
     fyr = CAR * alpha_r
     cos_d = jnp.cos(delta)
