@@ -63,6 +63,9 @@ class OSQPCollocationConfig:
     # (solvers/traj_qp.py) -- O(T nb^3), scales to T in the thousands.
     # 'dense': materialized constraint matrix + dense Cholesky.
     backend: str = "structured"
+    # QP backend for the structured path (param ``ip_qp``): 'admm' (default,
+    # OSQP-parity first-order) or 'ip' (Mehrotra interior point).
+    qp_solver: str = "admm"
     max_ms: float = 1000.0         # osqp_collocation.hpp:104 default; opt-in
     enforce_max_ms: bool = False
     debug: bool = False
@@ -77,6 +80,7 @@ class OSQPCollocationConfig:
             qp_eps_rel=get_param(params, "osqprel_tol", 1e-4),
             step_limit=get_param(params, "step_limit", 0.0),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
+            qp_solver="ip" if param_flag(params, "ip_qp") else "admm",
             max_ms=get_param(params, "max_ms", 1000.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -135,6 +139,7 @@ def _solve_osqp_collocation_structured(
     dx_0 and du_T are pinned pads), trapezoidal row t coupling s_t and
     s_{t+1} -- identical QP to the dense path, block-tridiagonal KKT."""
     from .traj_qp import TrajQP, solve_traj_box_qp
+    from .ip_qp import solve_traj_box_qp_ip
 
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
@@ -229,7 +234,12 @@ def _solve_osqp_collocation_structured(
 
     def body(state):
         xs, us, w_warm, yr_warm, yb_warm, _, it, _, _ = state
-        qp = solve_traj_box_qp(
+        # Interior-point linear algebra needs double precision (every
+        # production IP solver is f64: the Schur system's condition grows
+        # like 1/mu); on f32 backends (TPU) 'ip' falls back to ADMM.
+        use_ip = config.qp_solver == "ip" and dtype == jnp.float64
+        qp_solve = solve_traj_box_qp_ip if use_ip else solve_traj_box_qp
+        qp = qp_solve(
             assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
         )
         w = qp.w

@@ -72,6 +72,10 @@ class OSQPShootingConfig:
     # mode auto-enables for context/coupled solves, which are beyond the
     # reference and carry no parity obligation.
     exact: bool = False
+    # QP backend for the structured path (param ``ip_qp``): 'admm' (default,
+    # OSQP-parity first-order) or 'ip' (Mehrotra interior point,
+    # solvers/ip_qp.py -- ~2 orders less sequential depth on TPU).
+    qp_solver: str = "admm"
     max_ms: float = 0.0            # host deadline (osqp.hpp:122-132); opt-in
     enforce_max_ms: bool = False
     debug: bool = False
@@ -83,6 +87,7 @@ class OSQPShootingConfig:
             tolerance=get_param(params, "tolerance"),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
             exact=param_flag(params, "sqp_exact"),
+            qp_solver="ip" if param_flag(params, "ip_qp") else "admm",
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             debug=param_flag(params, "debug"),
@@ -124,6 +129,7 @@ def _solve_osqp_shooting_structured(
     dynamics rows C_t w_t + Cp_t w_{t+1} with C_t = [-A_t | -B_t],
     Cp_t = [I | 0] -- the same QP as the dense path, block-tridiagonal KKT."""
     from .traj_qp import TrajQP, solve_traj_box_qp
+    from .ip_qp import solve_traj_box_qp_ip
 
     T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
     dtype = spec.initial_state.dtype
@@ -230,7 +236,12 @@ def _solve_osqp_shooting_structured(
 
     def body(state):
         xs, us, cost, w_warm, yr_warm, yb_warm, _, it, _, _ = state
-        qp = solve_traj_box_qp(
+        # Interior-point linear algebra needs double precision (every
+        # production IP solver is f64: the Schur system's condition grows
+        # like 1/mu); on f32 backends (TPU) 'ip' falls back to ADMM.
+        use_ip = config.qp_solver == "ip" and dtype == jnp.float64
+        qp_solve = solve_traj_box_qp_ip if use_ip else solve_traj_box_qp
+        qp = qp_solve(
             assemble(xs, us), qp_config, w0=w_warm, y_r0=yr_warm, y_b0=yb_warm
         )
         u_candidate = us + qp.w[:T, nx:] if exact else qp.w[:T, nx:]

@@ -19,8 +19,12 @@ from multi_agent_solver_tpu.solvers.traj_qp import (
 from . import reference_mirror as mirror
 
 
-def random_traj_qp(rng, N=7, nb=5, nr=3, with_boxes=True):
-    """A feasible stage-banded QP (its dense equivalent is returned too)."""
+def random_traj_qp(rng, N=7, nb=5, nr=3, with_boxes=True, allow_ranged=True):
+    """A feasible stage-banded QP (its dense equivalent is returned too).
+
+    ``allow_ranged=False`` keeps every banded row an equality -- the shape
+    both SQP transcriptions produce and the IP backend requires.
+    """
     P = np.abs(rng.normal(1.0, 0.4, (N, nb))) + 0.1
     q = rng.normal(0.0, 1.0, (N, nb))
     C = rng.normal(0.0, 0.6, (N - 1, nr, nb))
@@ -31,7 +35,8 @@ def random_traj_qp(rng, N=7, nb=5, nr=3, with_boxes=True):
     r_lb = r_at.copy()
     r_ub = r_at.copy()
     # half the banded rows become ranged rows, the rest stay equalities
-    ranged = rng.uniform(size=r_at.shape) < 0.5
+    ranged = (rng.uniform(size=r_at.shape) < 0.5) if allow_ranged else \
+        np.zeros(r_at.shape, bool)
     r_lb = np.where(ranged, r_at - np.abs(rng.normal(0.5, 0.2, r_at.shape)), r_lb)
     r_ub = np.where(ranged, r_at + np.abs(rng.normal(0.5, 0.2, r_at.shape)), r_ub)
     if with_boxes:
