@@ -144,3 +144,58 @@ def run_mpc_batched(
     )
     states = jnp.concatenate([x0[None], xs], axis=0)
     return MPCTrace(states=states, controls=us, costs=costs, iterations=iters)
+
+
+def run_mpc_nash(
+    problem,
+    strategy,
+    n_steps: int,
+    plant_dynamics: Optional[Callable[[Array, Array], Array]] = None,
+    plant_dt: Optional[float] = None,
+    fill: str = "repeat",
+) -> MPCTrace:
+    """Closed-loop receding-horizon Nash game as one compiled ``lax.scan``.
+
+    Each MPC step runs the strategy's FULL best-response machinery (Jacobi
+    sweeps, coupling contexts refreshed from the agents' newest plans,
+    line-search/trust-region globalization) on the measured joint state,
+    applies every agent's first control to its plant, and shifts the warm
+    starts -- interactive driving / coupled-fleet MPC.  The reference can
+    neither couple agents nor close the loop; here the entire game-of-games
+    stays on-device.
+
+    ``problem``: a homogeneous :class:`MultiAgentProblem` (optionally with
+    ``inter_agent_cost``); ``strategy``: any Nash strategy instance from
+    :func:`multi_agent_solver_tpu.strategies.make_strategy`.  Returns an
+    :class:`MPCTrace` with step-major leaves: states ``[n_steps+1, N, nx]``,
+    controls ``[n_steps, N, nu]``, costs ``[n_steps, N]``.
+    """
+    from .strategies.base import stack_agent_specs
+
+    if not problem.blocks:
+        problem.compute_offsets()
+    specs = stack_agent_specs(problem)
+    specs = strategy._prepare(problem, specs)
+    plant = plant_dynamics or specs.dynamics
+    dt = specs.dt if plant_dt is None else plant_dt
+    x0 = specs.initial_state                   # [N, nx]
+
+    def body(carry, _):
+        x, warm = carry
+        states, controls, costs = strategy._run_stacked(
+            specs.replace(initial_state=x, initial_controls=warm)
+        )
+        u0 = controls[:, 0]                    # [N, nu]
+        new_warm = jax.vmap(lambda u: shift_warm_start(u, fill))(controls)
+        x_next = jax.vmap(lambda xx, uu: integrate_rk4(xx, uu, dt, plant))(x, u0)
+        return (x_next, new_warm), (x_next, u0, costs)
+
+    jitted = jax.jit(
+        lambda x, w: jax.lax.scan(body, (x, w), None, length=n_steps)
+    )
+    (_, _), (xs, us, costs) = jitted(x0, specs.initial_controls)
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return MPCTrace(
+        states=states, controls=us, costs=costs,
+        iterations=jnp.zeros(costs.shape[0], jnp.int32),
+    )

@@ -104,3 +104,46 @@ class TestRunMPCBatched:
             np.array(fleet.costs), np.array(ref.costs).swapaxes(0, 1),
             rtol=1e-6, atol=1e-8,
         )
+
+
+class TestRunMPCNash:
+    def test_coupled_closed_loop_avoids_collision(self):
+        """Receding-horizon Nash game: head-on traffic stays separated in
+        CLOSED LOOP (the coupling only ever sees the current plans, so this
+        exercises context refresh + warm-start shifting every step)."""
+        from multi_agent_solver_tpu.mpc import run_mpc_nash
+        from multi_agent_solver_tpu.solvers import make_solver
+        from multi_agent_solver_tpu.strategies import make_strategy
+
+        from .problems import head_on_fleet_problem
+
+        def min_pairwise(states):  # [S, N, nx] -> scalar
+            pos = states[..., :2]
+            d = jnp.linalg.norm(pos[:, :, None] - pos[:, None], axis=-1)
+            n = pos.shape[1]
+            big = 1e9 * jnp.eye(n)
+            return float(jnp.min(d + big[None]))
+
+        params = {"max_iterations": 25, "tolerance": 1e-6, "max_ms": 1e9}
+        n_steps = 16
+
+        traces = {}
+        for coupled in (False, True):
+            problem = head_on_fleet_problem(4)
+            if not coupled:
+                problem.inter_agent_cost = None
+            strategy = make_strategy("sequential", make_solver("ilqr"),
+                                     params, max_outer=2)
+            traces[coupled] = run_mpc_nash(problem, strategy, n_steps=n_steps)
+
+        for coupled, trace in traces.items():
+            assert trace.states.shape[0] == n_steps + 1
+            assert np.all(np.isfinite(np.asarray(trace.states))), coupled
+
+        d_coupled = min_pairwise(jnp.asarray(traces[True].states))
+        d_uncoupled = min_pairwise(jnp.asarray(traces[False].states))
+        # Uncoupled head-on traffic nearly collides mid-loop; the coupled
+        # game never gets closer than the initial same-direction lane
+        # spacing (0.3), i.e. the avoidance happens in closed loop.
+        assert d_uncoupled < 0.15, d_uncoupled
+        assert d_coupled > 0.29, d_coupled
