@@ -13,6 +13,7 @@ from .single_track import (
     single_track_control_jacobian,
 )
 from .dynamic_bicycle import dynamic_bicycle_model
+from .quadrotor import quadrotor_dynamics, HOVER_THRUST
 from .lqr import make_linear_dynamics, quadratic_stage_cost, quadratic_terminal_cost
 
 __all__ = [
@@ -24,6 +25,8 @@ __all__ = [
     "make_rocket_state_jacobian",
     "make_rocket_control_jacobian",
     "dynamic_bicycle_model",
+    "quadrotor_dynamics",
+    "HOVER_THRUST",
     "single_track_model",
     "single_track_state_jacobian",
     "single_track_control_jacobian",

@@ -16,8 +16,9 @@ import sys
 
 QUARANTINED = (
     "test_qp_parity", "test_qp_scale", "test_qp_solvers",
-    "test_quadratic_cost", "test_riccati_assoc", "test_state_bounds_al",
-    "test_strategies", "test_traj_qp", "test_warm_workspace",
+    "test_quadratic_cost", "test_quadrotor", "test_riccati_assoc",
+    "test_state_bounds_al", "test_strategies", "test_traj_qp",
+    "test_warm_workspace",
 )
 
 
