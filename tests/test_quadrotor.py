@@ -49,6 +49,90 @@ def hover_ocp(horizon_steps: int = 40) -> OCP:
     return ocp
 
 
+class TestQuadrotorSwarm:
+    """Coupled Nash game in 3D: four drones swap antipodal positions.
+
+    Uncoupled best responses fly straight through the shared center;
+    the 3D collision coupling must separate the paths -- the coupled-game
+    capability (beyond the reference) composed with the nx=12 model.
+    """
+
+    def _swap_problem(self, coupled: bool):
+        from multi_agent_solver_tpu import Agent, MultiAgentProblem
+
+        radius, z0, T, dt = 2.0, 1.0, 24, 0.05
+        w = jnp.array([4.0, 4.0, 4.0, 1.0, 1.0, 1.0,
+                       2.0, 2.0, 2.0, 0.1, 0.1, 0.1], jnp.float64)
+        u_hover = jnp.array([HOVER_THRUST, 0.0, 0.0, 0.0], jnp.float64)
+        ru = jnp.array([0.1, 1.0, 1.0, 1.0], jnp.float64)
+
+        def make(agent_id: int, angle: float) -> Agent:
+            # Staggered start altitudes break the 90-degree rotational
+            # symmetry -- identical Jacobi best responses to a perfectly
+            # symmetric game stay symmetric and still meet at the center.
+            zi = z0 + 0.05 * agent_id
+            start = jnp.zeros(12, jnp.float64)
+            start = start.at[0].set(radius * np.cos(angle))
+            start = start.at[1].set(radius * np.sin(angle)).at[2].set(zi)
+            goal = start[:3] * jnp.array([-1.0, -1.0, 1.0])
+
+            def stage_cost(x, u, t):
+                dx = x - jnp.zeros(12).at[:3].set(goal)
+                du = u - u_hover
+                return jnp.sum(w * dx * dx) + jnp.sum(ru * du * du)
+
+            ocp = OCP(
+                state_dim=12, control_dim=4, horizon_steps=T, dt=dt,
+                initial_state=start,
+                dynamics=quadrotor_dynamics,
+                stage_cost=stage_cost,
+                initial_controls=jnp.tile(u_hover, (T, 1)),
+            )
+            ocp.initialize_problem()
+            return Agent(agent_id, ocp)
+
+        problem = MultiAgentProblem()
+        for i in range(4):
+            problem.add_agent(make(i, 2.0 * np.pi * i / 4))
+        if coupled:
+            def collision_cost(x_i, x_j, t):
+                d2 = jnp.sum((x_i[:3] - x_j[:3]) ** 2)
+                return 40.0 * jnp.exp(-d2 / 0.5)
+
+            problem.inter_agent_cost = collision_cost
+        return problem
+
+    def _min_pairwise(self, solution) -> float:
+        pos = np.stack([np.asarray(s)[:, :3] for s in solution.states])
+        n = pos.shape[0]
+        dmin = np.inf
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = np.sqrt(((pos[i] - pos[j]) ** 2).sum(axis=1)).min()
+                dmin = min(dmin, d)
+        return float(dmin)
+
+    def test_coupled_swarm_separates(self):
+        from multi_agent_solver_tpu import make_solver, make_strategy, solve_multi_agent
+
+        params = {"max_iterations": 30, "tolerance": 1e-8, "max_ms": 1e9}
+        uncoupled = solve_multi_agent(
+            make_strategy("sequential", make_solver("ilqr"), params, 2),
+            self._swap_problem(coupled=False),
+        )
+        # The near-symmetric game needs several Jacobi sweeps to funnel the
+        # drones into staggered passing lanes (sweep 1-2 still ping-pongs).
+        coupled = solve_multi_agent(
+            make_strategy("sequential", make_solver("ilqr"), params, 8),
+            self._swap_problem(coupled=True),
+        )
+        d_unc = self._min_pairwise(uncoupled)
+        d_cpl = self._min_pairwise(coupled)
+        # The coupling must buy real separation over the straight-through game.
+        assert d_cpl > 2.0 * d_unc, (d_unc, d_cpl)
+        assert d_cpl > 0.4, d_cpl
+
+
 class TestQuadrotor:
     def test_dynamics_hover_equilibrium(self):
         x = jnp.zeros(12)
