@@ -15,7 +15,7 @@ COPY native ./native
 COPY tests ./tests
 COPY bench.py __graft_entry__.py ./
 
-RUN pip install --no-cache-dir "jax[cpu]" flax optax chex scipy matplotlib pytest \
+RUN pip install --no-cache-dir "jax[cpu]" scipy matplotlib pytest \
     && pip install --no-cache-dir -e .
 
 # Smoke: run the example suite on CPU (the reference image runs its examples).

@@ -22,6 +22,13 @@ gimbal-lock singularity finite, the same guarding idea the reference
 applies to the rocket's mass singularity (rocket_model.hpp
 ``max(m, 1e-6)``).  All terms are ``sin/cos`` + rational, so the model is
 AD-exact under the default derivative path.
+
+Valid attitude envelope: with ``C_EPS = 0.1`` the guarded tangent
+saturates at ``10 * sin(theta)``, so the Euler-rate kinematics are exact
+only for ``|theta| < ~84 deg``.  Hover, waypoint, and swarm problems stay
+far inside this; aggressive maneuvers whose optimal trajectory pitches
+near vertical would silently use the saturated (wrong) kinematics -- use a
+quaternion model for those.
 """
 
 from __future__ import annotations

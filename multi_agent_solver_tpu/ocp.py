@@ -36,7 +36,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from flax import struct
+from .utils.pytree import pytree_dataclass, field as pytree_field
 
 from .derivatives import Derivatives, make_derivatives
 from .integrators import integrate_horizon, integrate_rk4
@@ -61,7 +61,7 @@ def compute_trajectory_cost(states, controls, stage_cost, terminal_cost, context
     return jnp.sum(stage) + terminal_cost(states[-1])
 
 
-@struct.dataclass
+@pytree_dataclass
 class OCPSpec:
     """Frozen, jittable problem spec (the solver-facing pytree)."""
 
@@ -81,26 +81,26 @@ class OCPSpec:
     context: Optional[Array] = None
 
     # --- static metadata (part of the compilation key) ---
-    dynamics: Callable = struct.field(pytree_node=False, default=None)
-    stage_cost: Callable = struct.field(pytree_node=False, default=None)
-    terminal_cost: Callable = struct.field(pytree_node=False, default=None)
-    objective_function: Callable = struct.field(pytree_node=False, default=None)
-    equality_constraints: Optional[Callable] = struct.field(pytree_node=False, default=None)
-    inequality_constraints: Optional[Callable] = struct.field(pytree_node=False, default=None)
-    derivs: Derivatives = struct.field(pytree_node=False, default=None)
-    state_dim: int = struct.field(pytree_node=False, default=0)
-    control_dim: int = struct.field(pytree_node=False, default=0)
-    horizon_steps: int = struct.field(pytree_node=False, default=0)
-    eq_dim: int = struct.field(pytree_node=False, default=0)
-    ineq_dim: int = struct.field(pytree_node=False, default=0)
-    dt: float = struct.field(pytree_node=False, default=0.0)
+    dynamics: Callable = pytree_field(pytree_node=False, default=None)
+    stage_cost: Callable = pytree_field(pytree_node=False, default=None)
+    terminal_cost: Callable = pytree_field(pytree_node=False, default=None)
+    objective_function: Callable = pytree_field(pytree_node=False, default=None)
+    equality_constraints: Optional[Callable] = pytree_field(pytree_node=False, default=None)
+    inequality_constraints: Optional[Callable] = pytree_field(pytree_node=False, default=None)
+    derivs: Derivatives = pytree_field(pytree_node=False, default=None)
+    state_dim: int = pytree_field(pytree_node=False, default=0)
+    control_dim: int = pytree_field(pytree_node=False, default=0)
+    horizon_steps: int = pytree_field(pytree_node=False, default=0)
+    eq_dim: int = pytree_field(pytree_node=False, default=0)
+    ineq_dim: int = pytree_field(pytree_node=False, default=0)
+    dt: float = pytree_field(pytree_node=False, default=0.0)
     # True when objective_function is the synthesized sum of stage costs plus
     # terminal cost (ocp.hpp:170-180) -- lets fused kernels accumulate the
     # objective inline instead of calling the opaque user function.
-    objective_is_default: bool = struct.field(pytree_node=False, default=True)
+    objective_is_default: bool = pytree_field(pytree_node=False, default=True)
     # 'ad' or 'fd': which derivative defaults the oracle bundle was built
     # with.  Fused AD kernels are only exact substitutes in 'ad' mode.
-    derivative_mode: str = struct.field(pytree_node=False, default="ad")
+    derivative_mode: str = pytree_field(pytree_node=False, default="ad")
 
     # Convenience -------------------------------------------------------
     def rollout(self, controls: Array) -> Array:

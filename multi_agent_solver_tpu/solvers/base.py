@@ -21,13 +21,13 @@ from typing import Any, Callable, Dict, Optional, Type
 
 import jax
 import jax.numpy as jnp
-from flax import struct
+from ..utils.pytree import pytree_dataclass, field as pytree_field
 
 from ..ocp import OCP, OCPSpec
 from ..types import Array, SolverParams
 
 
-@struct.dataclass
+@pytree_dataclass
 class SolveResult:
     """Common solver output pytree (vmappable).
 

@@ -71,7 +71,6 @@ def bench_swarm(n_agents: int, sweeps: int, iters: int) -> None:
     time for the whole coupled game and the final minimum pairwise
     distance (uncoupled drones fly through the shared center).
     """
-    import jax.random  # noqa: F401  (keep import surface identical)
     from multi_agent_solver_tpu import (
         Agent, MultiAgentProblem, make_solver, make_strategy, solve_multi_agent,
     )
@@ -144,10 +143,12 @@ def main() -> None:
     ap.add_argument("--swarm", type=int, default=0,
                     help="run the coupled N-drone Nash game instead")
     ap.add_argument("--sweeps", type=int, default=8)
+    ap.add_argument("--swarm-iters", type=int, default=30,
+                    help="iLQR iterations per best response in swarm mode")
     args = ap.parse_args()
 
     if args.swarm:
-        bench_swarm(args.swarm, args.sweeps, min(args.iters, 30) or 30)
+        bench_swarm(args.swarm, args.sweeps, args.swarm_iters)
         return
 
     solve_batch, x0 = build(args.batch, args.horizon, args.iters)
