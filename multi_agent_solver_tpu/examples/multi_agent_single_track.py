@@ -101,7 +101,12 @@ def main(argv=None) -> int:
         return 0
 
     problem = build_problem(options.agents, coupling=options.coupling)
-    params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1000}
+    # projected_ls repairs the reference CGD's line-search stall at the
+    # input box on this problem (mirror-verified at 129.079/agent vs
+    # iLQR's 1.876, tests/test_cgd_parity.py; docs/PARITY.md).  Only CGD
+    # reads the flag; pass --projected_ls=0 for the raw reference behavior.
+    params = {"max_iterations": 100, "tolerance": 1e-5, "max_ms": 1000,
+              "projected_ls": 1}
     params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver)
     strategy = make_strategy(options.strategy, solver, params, options.max_outer)

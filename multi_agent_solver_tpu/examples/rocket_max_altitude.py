@@ -103,6 +103,17 @@ def main(argv=None) -> int:
 
     problem = create_max_altitude_rocket_ocp()
     params = {"max_iterations": 25, "tolerance": 1e-6, "max_ms": 200}
+    # The reference's QP-family SQP is defective on this problem (verified
+    # against the exact-QP mirror, docs/PARITY.md): its shooting QP's optimum
+    # is u = 0 (never lift off) and full-step collocation diverges through
+    # the thrust/max(m, 1e-6) rollout singularity.  Default to the repaired
+    # modes; pass --sqp_exact=0 / --colloc_init=rollout for the raw
+    # reference behavior.
+    name = canonical_solver_name(options.solver)
+    if name == "osqp":
+        params["sqp_exact"] = 1.0
+    elif name == "osqp_collocation":
+        params["colloc_init"] = "hold"
     params.update(options.extra_params)   # CLI passthrough (--fused=1 etc.)
     solver = make_solver(options.solver, params)
 

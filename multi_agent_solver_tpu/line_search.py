@@ -89,6 +89,55 @@ def armijo_line_search(
     return jnp.where(found, alphas[idx], alphas[-1])
 
 
+def projected_armijo_line_search(
+    initial_state: Array,
+    controls: Array,
+    gradients: Array,
+    dynamics,
+    objective_function,
+    dt: float,
+    lower: Array,
+    upper: Array,
+    parameters: Optional[Mapping[str, float]] = None,
+) -> Array:
+    """Projected-arc Armijo search (beyond the reference; docs/PARITY.md).
+
+    The reference's CGD line-searches the UNCLAMPED ray ``u - alpha g`` and
+    clamps only the final step (cgd.hpp:84-92, line_search.hpp:30-70).  At an
+    input-box boundary the unclamped Armijo model keeps promising descent the
+    clamped step cannot deliver, so the accepted alpha yields no improvement
+    and the iteration is a fixed point: on the circular-track benchmark the
+    reference CGD stalls at 129.079 per agent vs iLQR's 1.876
+    (tests/test_cgd_parity.py mirrors the stall exactly).  Searching the
+    projected arc ``P(u - alpha g)`` with sufficient decrease measured
+    through the projected displacement -- the standard projected-gradient
+    Armijo rule -- restores convergence to a box-stationary point.  All
+    candidates evaluate in one batched rollout, like the other searches.
+    """
+    initial_step_size = get_parameter(parameters, "initial_step_size", 1.0)
+    beta = get_parameter(parameters, "beta", 0.5)
+    c1 = get_parameter(parameters, "c1", 1e-6)
+
+    alphas = _alpha_candidates(initial_step_size, beta)
+    ref_states = integrate_horizon(initial_state, controls, dt, dynamics, integrate_rk4)
+    cost_ref = objective_function(ref_states, controls)
+
+    def trial(alpha):
+        trial_controls = jnp.clip(controls - alpha * gradients, lower, upper)
+        trial_states = integrate_horizon(
+            initial_state, trial_controls, dt, dynamics, integrate_rk4
+        )
+        cost = objective_function(trial_states, trial_controls)
+        disp2 = jnp.sum((trial_controls - controls) ** 2)
+        return cost, disp2
+
+    costs, disp2 = jax.vmap(trial)(alphas)
+    accept = costs <= cost_ref - (c1 / jnp.maximum(alphas, 1e-12)) * disp2
+    idx = jnp.argmax(accept)
+    found = jnp.any(accept[:-1])
+    return jnp.where(found, alphas[idx], alphas[-1])
+
+
 def backtracking_line_search(
     initial_state: Array,
     controls: Array,

@@ -38,7 +38,7 @@ from ..constraints import (
 )
 from ..finite_differences import finite_differences_gradient
 from ..integrators import integrate_horizon
-from ..line_search import armijo_line_search
+from ..line_search import armijo_line_search, projected_armijo_line_search
 from ..ocp import OCPSpec
 from ..types import Array, SolverParams, get_param, param_flag
 from .base import SolveResult, SolverBase, register_solver
@@ -57,6 +57,12 @@ class CGDConfig:
     # Opt-in host-path transform: fold finite state bounds into AL
     # inequality rows (the reference's CGD ignores state bounds).
     state_bounds_al: bool = False
+    # Projected-arc Armijo (param ``projected_ls``): search the CLAMPED ray
+    # P(u - alpha g) instead of the reference's unclamped ray whose accepted
+    # alpha can be a no-op after clamping (permanent stall at an input-box
+    # boundary; see line_search.projected_armijo_line_search).  Off by
+    # default for reference parity.
+    projected_ls: bool = False
     # Reverse-mode differentiable solve: bounded rematerialized fori_loop
     # instead of while_loop (see solvers/ilqr.py ILQRConfig.differentiable).
     differentiable: bool = False
@@ -71,6 +77,7 @@ class CGDConfig:
             max_ms=get_param(params, "max_ms", 0.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
             state_bounds_al=param_flag(params, "state_bounds_al"),
+            projected_ls=param_flag(params, "projected_ls"),
             differentiable=param_flag(params, "differentiable"),
             debug=param_flag(params, "debug"),
         )
@@ -121,9 +128,15 @@ def solve_cgd(spec: OCPSpec, config: CGDConfig) -> SolveResult:
         obj = augmented_objective_fn(eq_mult, ineq_mult, rho)
 
         grads = gradient(us, eq_mult, ineq_mult, rho)
-        step = armijo_line_search(
-            spec.initial_state, us, grads, spec.dynamics, obj, spec.dt
-        )
+        if config.projected_ls and spec.has_input_bounds:
+            step = projected_armijo_line_search(
+                spec.initial_state, us, grads, spec.dynamics, obj, spec.dt,
+                spec.input_lower_bounds, spec.input_upper_bounds,
+            )
+        else:
+            step = armijo_line_search(
+                spec.initial_state, us, grads, spec.dynamics, obj, spec.dt
+            )
 
         trial_us = us - step * grads
         if spec.has_input_bounds:  # cgd.hpp:85-88

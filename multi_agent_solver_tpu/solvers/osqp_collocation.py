@@ -63,6 +63,15 @@ class OSQPCollocationConfig:
     # (solvers/traj_qp.py) -- O(T nb^3), scales to T in the thousands.
     # 'dense': materialized constraint matrix + dense Cholesky.
     backend: str = "structured"
+    # Initial state trajectory (param ``colloc_init``): 'rollout' integrates
+    # the warm-start controls (reference parity, osqp_collocation.hpp:455-463);
+    # 'hold' seeds every knot at the initial state.  Collocation never needs a
+    # dynamically feasible seed -- the trapezoidal equality rows repair the
+    # defects -- so 'hold' sidesteps seeds whose rollout is numerically
+    # garbage (the rocket's half-thrust guess empties the tank at exactly
+    # t = T dt and RK4 through the thrust/max(m, 1e-6) singularity produces
+    # |v| ~ 1e5; delta steps from there diverge, docs/PARITY.md).
+    init: str = "rollout"
     # QP backend for the structured path (param ``ip_qp``): 'admm' (default,
     # OSQP-parity first-order) or 'ip' (Mehrotra interior point).
     qp_solver: str = "admm"
@@ -80,6 +89,9 @@ class OSQPCollocationConfig:
             qp_eps_rel=get_param(params, "osqprel_tol", 1e-4),
             step_limit=get_param(params, "step_limit", 0.0),
             backend="dense" if param_flag(params, "dense_qp") else "structured",
+            init=str(params.get("colloc_init", "rollout"))
+                if isinstance(params.get("colloc_init", "rollout"), str)
+                else ("hold" if params.get("colloc_init") else "rollout"),
             qp_solver="ip" if param_flag(params, "ip_qp") else "admm",
             max_ms=get_param(params, "max_ms", 1000.0),
             enforce_max_ms=param_flag(params, "enforce_max_ms"),
@@ -130,6 +142,15 @@ def _convexify(diag: Array, reg: float) -> Array:
     min_diag = jnp.min(diag, axis=-1, keepdims=True)
     shift = jnp.where(min_diag + reg < 0.0, jnp.abs(min_diag) + reg, 0.0)
     return diag + shift
+
+
+def _initial_trajectory(spec: OCPSpec, us0: Array, mode: str) -> Array:
+    """Seed state knots: 'rollout' (reference parity) or 'hold' at x0."""
+    if mode == "hold":
+        return jnp.broadcast_to(
+            spec.initial_state, (spec.horizon_steps + 1, spec.state_dim)
+        ).astype(spec.initial_state.dtype)
+    return spec.rollout(us0)
 
 
 def _solve_osqp_collocation_structured(
@@ -227,7 +248,7 @@ def _solve_osqp_collocation_structured(
         return TrajQP(P_diag, q, C, Cp, -defect, -defect, z_lb, z_ub)
 
     us0 = spec.initial_controls
-    xs0 = spec.rollout(us0)
+    xs0 = _initial_trajectory(spec, us0, config.init)
 
     def cond(state):
         return (state[6] < config.max_iterations) & ~state[7] & ~state[8]
@@ -390,7 +411,7 @@ def _solve_osqp_collocation_dense(
 
     # Warm start from the initial guess (osqp_collocation.hpp:455-463).
     us0 = spec.initial_controls
-    xs0 = spec.rollout(us0)
+    xs0 = _initial_trajectory(spec, us0, config.init)
 
     def cond(state):
         return (state[5] < config.max_iterations) & ~state[6] & ~state[7]

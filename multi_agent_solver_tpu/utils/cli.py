@@ -57,8 +57,9 @@ def _extra_params(options: Dict[str, str], known: Tuple[str, ...]) -> Dict[str, 
     The reference passes tuning through a ``SolverParams`` string->double map
     (types.hpp:57); this lets any example CLI forward e.g. ``--fused=1``,
     ``--boxqp=1`` or ``--step-limit=1`` to the solver the same way (dashes
-    map back to the underscore param names).  Non-numeric unknowns are
-    ignored, matching the reference parser's silence on unused options.
+    map back to the underscore param names).  Extension beyond the
+    reference's double-only map: non-numeric values are kept as strings so
+    enum-style params (``--colloc_init=hold``) pass through too.
     """
     extra: Dict[str, float] = {}
     for key, value in options.items():
@@ -67,7 +68,7 @@ def _extra_params(options: Dict[str, str], known: Tuple[str, ...]) -> Dict[str, 
         try:
             extra[key.replace("-", "_")] = float(value)
         except ValueError:
-            pass
+            extra[key.replace("-", "_")] = value
     return extra
 
 

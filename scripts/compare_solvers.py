@@ -6,6 +6,15 @@ table output) targeting the Python example modules instead of CMake-built
 binaries: each cell runs ``python -m multi_agent_solver_tpu.examples.<name>``
 and parses the last ``cost=... time_ms=...`` stdout line
 (reference: compare_solvers.py:120-134).
+
+Cell status semantics (beyond the reference, which only checks exit codes):
+
+* ``ok``        -- ran, produced a result line, cost finite and at most the
+                   example's sanity bound (SANITY_BOUNDS below);
+* ``diverged``  -- ran "successfully" but the cost exceeds the sanity bound
+                   (a cost explosion must not count as a passing cell);
+* ``failed``    -- ran but the cost is non-finite (nan/inf);
+* ``exit N`` / ``timeout`` / ``no result line`` -- process-level failures.
 """
 
 from __future__ import annotations
@@ -23,6 +32,19 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 MULTI_AGENT_EXAMPLES = {"multi_agent_lqr", "multi_agent_single_track"}
 SINGLE_AGENT_EXAMPLES = {"single_track_ocp", "pendulum_swing_up", "rocket_max_altitude"}
 ALL_EXAMPLES = tuple(sorted(MULTI_AGENT_EXAMPLES | SINGLE_AGENT_EXAMPLES))
+
+# Largest plausible converged cost per example; orders of magnitude above
+# every solver's legitimate answer (docs/RESULTS.md) but far below the cost
+# explosions a diverged run produces (the round-2 rocket collocation cell
+# reported 1.2e24 as "ok").  A finite cost above the bound demotes the cell
+# to "diverged".
+SANITY_BOUNDS = {
+    "multi_agent_lqr": 1e5,
+    "multi_agent_single_track": 1e6,
+    "single_track_ocp": 1e5,
+    "pendulum_swing_up": 1e5,
+    "rocket_max_altitude": 1e4,
+}
 
 
 @dataclass
@@ -114,8 +136,17 @@ def _run_example_once(example: str, args, solver: str, strategy: Optional[str]) 
     if line is None:
         return RunResult(example, solver, strategy, None, None, "no result line")
     data = parse_result_line(line)
+    status = "ok"
+    try:
+        cost_val = float(data.get("cost", "nan"))
+    except ValueError:
+        cost_val = float("nan")
+    if cost_val != cost_val or cost_val in (float("inf"), float("-inf")):
+        status = "failed"
+    elif cost_val > SANITY_BOUNDS.get(example, float("inf")):
+        status = "diverged"
     return RunResult(example, solver, strategy, data.get("cost"),
-                     data.get("time_ms"), "ok")
+                     data.get("time_ms"), status)
 
 
 def print_table(title: str, rows: List[RunResult], with_strategy: bool) -> None:

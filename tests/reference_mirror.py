@@ -221,30 +221,37 @@ def solve_qp_oracle(P_diag, q, A, lb, ub, tol=1e-9, max_iter=200000):
     rho = np.where(is_eq, rho_bar * 1e3, rho_bar)
 
     def kkt_ok(x, y):
+        # Relative stationarity/feasibility scalings (OSQP's own convergence
+        # criteria are relative the same way): badly-scaled Jacobians (the
+        # rocket's thrust/m^2 reaches 2.5e4) make absolute 1e-7 unattainable
+        # in f64 even for the exact KKT solve's roundoff.
         Ax = A @ x
-        if np.any(Ax < lb - 1e-7) or np.any(Ax > ub + 1e-7):
+        prim_scale = 1e-7 * max(1.0, np.max(np.abs(Ax)))
+        if np.any(Ax < lb - prim_scale) or np.any(Ax > ub + prim_scale):
             return False
-        if np.max(np.abs(P_diag * x + q + A.T @ y)) > 1e-7 * max(
-            1.0, np.max(np.abs(q))
-        ):
+        dual_scale = max(
+            1.0, np.max(np.abs(q)), np.max(np.abs(P_diag * x)),
+            np.max(np.abs(A.T @ y)),
+        )
+        if np.max(np.abs(P_diag * x + q + A.T @ y)) > 1e-7 * dual_scale:
             return False
         comp_ub = (y > 1e-9) & ~is_eq
         comp_lb = (y < -1e-9) & ~is_eq
-        if np.any(np.abs(Ax[comp_ub] - ub[comp_ub]) > 1e-6):
+        comp_scale = 10.0 * prim_scale
+        if np.any(np.abs(Ax[comp_ub] - ub[comp_ub]) > comp_scale):
             return False
-        if np.any(np.abs(Ax[comp_lb] - lb[comp_lb]) > 1e-6):
+        if np.any(np.abs(Ax[comp_lb] - lb[comp_lb]) > comp_scale):
             return False
         return True
 
-    def polish(x, y, z):
-        at_lb = (z - lb <= 1e-7) & (y < 0.0)
-        at_ub = (ub - z <= 1e-7) & (y > 0.0)
-        active = at_lb | at_ub | is_eq
-        if not np.any(active):
-            x_p = -q / P_diag
-            return (x_p, np.zeros(m)) if kkt_ok(x_p, np.zeros(m)) else None
+    def _kkt_solve(active, z_ref):
+        """Regularized KKT solve pinning the active rows at their nearer
+        finite bound (OSQP polish linear algebra + iterative refinement)."""
         Aa = A[active]
-        ba = np.where(at_ub[active], ub[active], lb[active])
+        zb = z_ref[active]
+        pin_ub = (ub[active] - zb) <= (zb - lb[active])
+        ba = np.where(pin_ub, ub[active], lb[active])
+        ba = np.where(np.abs(ba) >= QP_INFTY, lb[active], ba)
         ba = np.where(is_eq[active], lb[active], ba)
         ka = Aa.shape[0]
         delta = 1e-8
@@ -265,9 +272,82 @@ def solve_qp_oracle(P_diag, q, A, lb, ub, tol=1e-9, max_iter=200000):
         x_p = sol[:n]
         y_p = np.zeros(m)
         y_p[active] = sol[n:]
-        return (x_p, y_p) if kkt_ok(x_p, y_p) else None
+        return x_p, y_p
 
-    M = np.diag(P_diag + sigma) + (A.T * rho) @ A
+    def polish(x, y, z, active=None):
+        """Active-set refinement: solve the KKT system for a guessed active
+        set, accept only on the exact KKT check, else drop wrong-signed
+        duals / add violated rows and re-solve (up to 6 rounds).  Degenerate
+        QPs (the rocket pins ~all variables through 2.5e4-magnitude rows)
+        need the refinement; well-behaved ones accept on round one, which is
+        exactly the old single-shot behavior."""
+        scale_z = max(1.0, np.max(np.abs(z)))
+        if active is None:
+            at_lb = (z - lb <= 1e-7 * scale_z) & (y < 0.0)
+            at_ub = (ub - z <= 1e-7 * scale_z) & (y > 0.0)
+            active = at_lb | at_ub | is_eq
+        z_ref = z
+        for _ in range(6):
+            if not np.any(active):
+                x_p = -q / P_diag
+                return (x_p, np.zeros(m)) if kkt_ok(x_p, np.zeros(m)) else None
+            sol = _kkt_solve(active, z_ref)
+            if sol is None:
+                return None
+            x_p, y_p = sol
+            if kkt_ok(x_p, y_p):
+                return x_p, y_p
+            z_p = A @ x_p
+            sz = max(1.0, np.max(np.abs(z_p)))
+            near_lb = z_p - lb <= 1e-7 * sz
+            near_ub = ub - z_p <= 1e-7 * sz
+            # Candidate 2: wrong-signed duals on inequality rows zeroed
+            # (degeneracy noise); certified by the same exact check.
+            y_z = y_p.copy()
+            wrong = ~is_eq & ((near_lb & (y_p > 0.0)) | (near_ub & (y_p < 0.0)))
+            y_z[wrong] = 0.0
+            if kkt_ok(x_p, y_z):
+                return x_p, y_z
+            viol = (z_p < lb - 1e-7 * sz) | (z_p > ub + 1e-7 * sz)
+            new_active = (active & ~wrong) | viol | is_eq
+            if np.array_equal(new_active, active):
+                return None
+            active = new_active
+            z_ref = z_p
+        return None
+
+    # Modified Ruiz equilibration (what OSQP's scaling=10 setting does,
+    # osqp.hpp:53): iteratively scale variables (D) and constraint rows (E)
+    # toward unit infinity-norms, plus a cost scaling c.  ADMM runs on the
+    # scaled problem; polish and the exact KKT check stay in ORIGINAL
+    # coordinates, so equilibration only helps convergence, never changes
+    # the certified answer.  Without it the rocket QP (P spanning 1e-6..2,
+    # gradient -15 on a 1e-6-curvature variable, 1e30 bounds) stalls.
+    D = np.ones(n)
+    E = np.ones(m)
+    c = 1.0
+    Ps, qs, As = P_diag.copy(), q.copy(), A.copy()
+    for _ in range(10):
+        col = np.maximum(np.abs(Ps), np.abs(As).max(axis=0))
+        col[col == 0.0] = 1.0
+        d = 1.0 / np.sqrt(col)
+        row = np.abs(As * d[None, :]).max(axis=1)
+        row[row == 0.0] = 1.0
+        e = 1.0 / np.sqrt(row)
+        Ps *= d * d
+        qs *= d
+        As = (As * d[None, :]) * e[:, None]
+        gamma = 1.0 / max(np.mean(np.abs(Ps)), np.max(np.abs(qs)), 1e-12)
+        Ps *= gamma
+        qs *= gamma
+        c *= gamma
+        D *= d
+        E *= e
+    lbs = np.clip(E * lb, -QP_INFTY, QP_INFTY)
+    ubs = np.clip(E * ub, -QP_INFTY, QP_INFTY)
+    rho_s = np.where(is_eq, rho_bar * 1e3, rho_bar)
+
+    M = np.diag(Ps + sigma) + (As.T * rho_s) @ As
     L = np.linalg.cholesky(M)
 
     def chol_solve(b):
@@ -275,21 +355,49 @@ def solve_qp_oracle(P_diag, q, A, lb, ub, tol=1e-9, max_iter=200000):
 
     x = np.zeros(n)
     y = np.zeros(m)
-    z = np.clip(A @ x, lb, ub)
+    z = np.clip(As @ x, lbs, ubs)
     chunk = 2000
     for _ in range(max_iter // chunk):
         for _ in range(chunk):
-            rhs = sigma * x - q + A.T @ (rho * z - y)
+            rhs = sigma * x - qs + As.T @ (rho_s * z - y)
             x_t = chol_solve(rhs)
-            z_t = A @ x_t
+            z_t = As @ x_t
             x = alpha * x_t + (1.0 - alpha) * x
             z_rel = alpha * z_t + (1.0 - alpha) * z
-            z_new = np.clip(z_rel + y / rho, lb, ub)
-            y = y + rho * (z_rel - z_new)
+            z_new = np.clip(z_rel + y / rho_s, lbs, ubs)
+            y = y + rho_s * (z_rel - z_new)
             z = z_new
-        res = polish(x, y, z)
+        res = polish(D * x, E * y / c, z / E)
         if res is not None:
             return res
+
+    # Fallback basin for QPs where ADMM stalls (the rocket shooting QP is
+    # degenerate: its exact optimum pins nearly every variable to a bound
+    # through 2.5e4-magnitude equality rows).  A generic NLP solver supplies
+    # an approximate primal point; the active set is read off it, duals are
+    # estimated by least squares, and polish() re-solves the KKT system.
+    # The result is accepted ONLY if it passes the same exact KKT check as
+    # the ADMM path, so certification is unchanged.
+    from scipy import optimize, sparse
+
+    nlp = optimize.minimize(
+        lambda v: 0.5 * v @ (P_diag * v) + q @ v,
+        np.zeros(n),
+        jac=lambda v: P_diag * v + q,
+        hess=lambda v: sparse.diags(P_diag),
+        method="trust-constr",
+        constraints=[optimize.LinearConstraint(
+            sparse.csr_matrix(A), np.maximum(lb, -QP_INFTY), np.minimum(ub, QP_INFTY)
+        )],
+        options={"maxiter": 3000, "gtol": 1e-12, "xtol": 1e-16},
+    )
+    x_s = nlp.x
+    z_s = A @ x_s
+    sz = max(1.0, np.max(np.abs(z_s)))
+    act = (z_s - lb <= 1e-6 * sz) | (ub - z_s <= 1e-6 * sz) | is_eq
+    res = polish(x_s, np.zeros(m), z_s, active=act)
+    if res is not None:
+        return res
     raise RuntimeError("QP oracle failed to converge")
 
 

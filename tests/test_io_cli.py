@@ -109,13 +109,17 @@ class TestCLI:
 
     def test_extra_params_passthrough(self):
         """Unknown numeric options become SolverParams entries (dashes map
-        back to underscore param names); non-numeric unknowns are ignored."""
+        back to underscore param names); non-numeric unknowns pass through
+        as strings (enum-style params like --colloc_init=hold)."""
         opts = parse_solver_options(["--fused=1", "--step-limit", "2.5"])
         assert opts.extra_params == {"fused": 1.0, "step_limit": 2.5}
         opts = parse_multi_agent_options(
             ["--coupling", "25", "--boxqp=1", "--name", "bob"]
         )
-        assert opts.extra_params == {"boxqp": 1.0}
+        assert opts.extra_params == {"boxqp": 1.0, "name": "bob"}
+        assert parse_solver_options(["--colloc_init=hold"]).extra_params == {
+            "colloc_init": "hold"
+        }
         assert parse_rocket_options(["--step_limit=1"]).extra_params == {
             "step_limit": 1.0
         }
