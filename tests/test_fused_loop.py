@@ -36,6 +36,30 @@ class TestFusedLoop:
             np.asarray(fused.controls), np.asarray(regular.controls), atol=2e-4
         )
 
+    def test_short_ladder_matches_reference_ladder(self):
+        """bench.py's short forward-pass ladder (1, 1/2, 1/8) must reproduce
+        the reference 10-rung ladder's answers on the headline problem --
+        every lane accepts alpha in {1, 1/2}, so pruning the tail rungs
+        changes nothing but device time (docs/BENCHMARKS.md)."""
+        specs = _specs(8)
+        config_ref = ILQRConfig(max_iterations=10, tolerance=1e-5)
+        config_short = ILQRConfig(max_iterations=10, tolerance=1e-5,
+                                  alpha_ladder=(1.0, 0.5, 0.125))
+        ref = solve_ilqr_batched(specs, config_ref)
+        short = solve_ilqr_batched(specs, config_short)
+        np.testing.assert_allclose(
+            np.asarray(short.cost), np.asarray(ref.cost), rtol=1e-6
+        )
+        # The scheduled variant (full ladder for 2 warmup iterations, short
+        # after) must also agree.
+        config_sched = ILQRConfig(max_iterations=10, tolerance=1e-5,
+                                  alpha_ladder=(1.0, 0.5, 0.125),
+                                  alpha_warmup=2)
+        sched = solve_ilqr_batched(specs, config_sched)
+        np.testing.assert_allclose(
+            np.asarray(sched.cost), np.asarray(ref.cost), rtol=1e-6
+        )
+
     def test_boxqp_mode_matches(self):
         specs = _specs(3)
         config = ILQRConfig(max_iterations=40, tolerance=1e-9,
