@@ -266,12 +266,21 @@ def initialize_distributed(**kwargs) -> None:
     """Initialize multi-host JAX (DCN across hosts).
 
     Thin wrapper over ``jax.distributed.initialize`` so multi-host drivers
-    have a single framework entry point; on a single host it is a no-op.
+    (scripts/bench_mesh.py, docs/MULTIHOST.md) have a single framework
+    entry point.  Explicitly requested initialization (any non-None kwarg,
+    e.g. ``coordinator_address``) propagates failures -- a pod launch that
+    cannot form its coordination service must die loudly, not limp on as
+    N disconnected single-host runs.  With no kwargs it attempts
+    auto-detection (TPU metadata / cluster env vars) and stays a silent
+    no-op on plain single-host environments.
     """
     if jax.process_count() > 1:
-        return
+        return  # already initialized
+    explicit = any(v is not None for v in kwargs.values())
+    kwargs = {k: v for k, v in kwargs.items() if v is not None}
     try:
         jax.distributed.initialize(**kwargs)
     except Exception:
-        # Already initialized or single-process environment.
-        pass
+        if explicit:
+            raise
+        # Auto-detection on a single-host environment: stay local.

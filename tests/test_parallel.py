@@ -141,3 +141,33 @@ class TestMesh:
         np.testing.assert_allclose(
             np.array(totals), np.array(result.cost).sum(axis=1), rtol=1e-6
         )
+
+
+class TestMeshBench:
+    def test_weak_scaling_harness_runs(self, tmp_path, capsys):
+        """scripts/bench_mesh.py (the pod weak-scaling harness,
+        docs/MULTIHOST.md) must run unchanged on the virtual mesh and emit
+        a well-formed artifact with sane costs."""
+        import importlib.util
+        import json as json_mod
+        import pathlib
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        spec_mod = importlib.util.spec_from_file_location(
+            "bench_mesh", root / "scripts" / "bench_mesh.py"
+        )
+        bench_mesh = importlib.util.module_from_spec(spec_mod)
+        spec_mod.loader.exec_module(bench_mesh)
+
+        out = tmp_path / "mesh.json"
+        rc = bench_mesh.main([
+            "--per-device-batch", "8", "--iters", "2", "--horizon", "10",
+            "--reps", "1", "--device-counts", "1", "2", "--json", str(out),
+        ])
+        assert rc == 0
+        artifact = json_mod.loads(out.read_text())
+        assert [r["devices"] for r in artifact["rows"]] == [1, 2]
+        for r in artifact["rows"]:
+            assert r["batch"] == 8 * r["devices"]
+            assert np.isfinite(r["median_cost"])
+            assert r["solves_per_s"] > 0
