@@ -39,6 +39,14 @@ import jax
 import jax.numpy as jnp
 
 from ..types import Array
+from .small import spd_inv_unrolled
+
+
+def _inv_spd(X: Array) -> Array:
+    """SPD block inverse: unrolled Cholesky for small static n (the 40x-slow
+    batched-tiny-LU pitfall, ops/small.py::spd_inv_unrolled), generic LU
+    beyond the unroll's sweet spot."""
+    return spd_inv_unrolled(X) if X.shape[-1] <= 32 else jnp.linalg.inv(X)
 
 
 class BTLevel(NamedTuple):
@@ -77,7 +85,7 @@ def bt_factor(D: Array, L: Array) -> BTFactor:
         n_even = N - n_odd
 
         D_odd = D[1::2]                                   # [n_odd, nb, nb]
-        dinv_odd = jnp.linalg.inv(D_odd)
+        dinv_odd = _inv_spd(D_odd)
         levels.append(BTLevel(dinv_odd=dinv_odd, L=L))
 
         # L_{2k-1} exists for k >= 1; L_{2k} exists for 2k <= N-2.
@@ -107,7 +115,7 @@ def bt_factor(D: Array, L: Array) -> BTFactor:
         D, L = Dp, Lp
 
     root = _dense_from_blocks(D, L)
-    return BTFactor(levels=tuple(levels), root_inv=jnp.linalg.inv(root))
+    return BTFactor(levels=tuple(levels), root_inv=_inv_spd(root))
 
 
 def bt_solve(factor: BTFactor, b: Array) -> Array:

@@ -154,3 +154,63 @@ def psd_solve_with_escalation(
     idx = jnp.where(jnp.any(ok), idx, num_levels - 1)
     Q_reg = Q + levels[idx] * eye
     return solve_spd_small(Q_reg, rhs), idx
+
+
+def spd_inv_unrolled(Q: Array) -> Array:
+    """Batched SPD inverse by fully unrolled Cholesky, for static n <= ~32.
+
+    XLA:TPU's batched ``jnp.linalg.inv`` on tiny blocks is catastrophic --
+    measured 99 ms for [40960, 6, 6] (~2.4 us per 6x6, a serialized LU) with
+    a ~25 ms fixed cost PER CALL, which made every cyclic-reduction level of
+    the block-tridiagonal KKT factor pay ~30-100 ms and left the batched QP
+    family at 111-176 solves/s (VERDICT r3 item 5).  Unrolling the Cholesky
+    and the triangular inverse over STATIC indices turns the whole inverse
+    into ~n^3 fused elementwise VPU ops that batch perfectly over the
+    leading dims: the same [40960, 6, 6] inverse drops to sub-millisecond.
+
+    Q must be SPD (the KKT diagonal blocks are, by Schur-complement
+    induction -- see ops/block_tridiag.py).  Returns Q^{-1}, symmetric up
+    to f32 roundoff.
+    """
+    n = Q.shape[-1]
+    # Unrolled Cholesky: L[i][j] scalars (batched over leading dims).
+    L = [[None] * n for _ in range(n)]
+    inv_diag = [None] * n
+    for j in range(n):
+        s = Q[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv_d = 1.0 / d
+        inv_diag[j] = inv_d
+        for i in range(j + 1, n):
+            s = Q[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # Unrolled forward substitution: M = L^{-1} (lower triangular).
+    M = [[None] * n for _ in range(n)]
+    for j in range(n):
+        M[j][j] = inv_diag[j]
+        for i in range(j + 1, n):
+            s = L[i][j] * M[j][j]
+            for k in range(j + 1, i):
+                s = s + L[i][k] * M[k][j]
+            M[i][j] = -inv_diag[i] * s
+    # Q^{-1} = M^T M, assembled entrywise (uses symmetry).
+    rows = []
+    cache = {}
+    for i in range(n):
+        row = []
+        for j in range(n):
+            a, b = (i, j) if i <= j else (j, i)
+            if (a, b) not in cache:
+                s = None
+                for k in range(b, n):  # M[k][a], M[k][b] nonzero for k >= max(a,b)
+                    term = M[k][a] * M[k][b]
+                    s = term if s is None else s + term
+                cache[(a, b)] = s
+            row.append(cache[(a, b)])
+        rows.append(jnp.stack(row, axis=-1))
+    return jnp.stack(rows, axis=-2)

@@ -172,3 +172,18 @@ class TestDerivatives:
             spec.initial_state, U, spec.dynamics, spec.objective_function, spec.dt
         )
         np.testing.assert_allclose(np.array(g_fd), np.array(g_ad), atol=1e-3)
+
+
+class TestSpdInvUnrolled:
+    def test_matches_numpy_inverse(self):
+        """ops/small.py::spd_inv_unrolled (the batched-tiny-LU fix behind the
+        round-3 QP-family speedup) is exact for SPD blocks of every size the
+        KKT factor uses."""
+        from multi_agent_solver_tpu.ops.small import spd_inv_unrolled
+
+        rng = np.random.default_rng(3)
+        for n in (1, 2, 3, 6, 8, 12, 16):
+            A = rng.normal(size=(4, 7, n, n))
+            Q = A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
+            got = np.asarray(spd_inv_unrolled(jnp.asarray(Q)))
+            np.testing.assert_allclose(got, np.linalg.inv(Q), atol=1e-9)
