@@ -1068,8 +1068,9 @@ def solve_ilqr_batched(
     Identical semantics to ``vmap(solve_ilqr)`` but the Riccati backward pass
     runs as ONE fused Pallas kernel over all batch lanes (see
     ops/riccati_pallas.py) -- the hot path of the solves/s benchmark.
-    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 8, nu <= 4;
-    covers pairwise-stacked agents and richer vehicle models).
+    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 12, nu <= 4;
+    covers pairwise-stacked agents, richer vehicle models, and the nx=12
+    quadrotor -- measured 3.5x over the scan route at that size, r3).
     ``fused``: 'auto' (default) routes eligible problems (lane-traceable
     dynamics/costs, AD mode, unconstrained, no context) through the fully
     lane-resident iteration loop (:func:`_solve_ilqr_batched_fused`);
@@ -1092,7 +1093,7 @@ def solve_ilqr_batched(
         fused = config.fused == "on"
 
     if backward == "auto":
-        backward = "pallas" if (nx <= 8 and nu <= 4) else "scan"
+        backward = "pallas" if (nx <= 12 and nu <= 4) else "scan"
     if config.ddp:
         backward = "scan"   # dynamics-Hessian terms live on the scan path
         fused = False

@@ -49,7 +49,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # pytest_collection_modifyitems below and tests/test_zz_quarantined.py).
 # Alphabetically these are the back half of the suite: the ones that land
 # after the XLA:CPU backend's ~40-minute single-process heap-corruption
-# window.  Keep this list in sync with test_zz_quarantined.QUARANTINED.
+# window.  Single source of truth: test_zz_quarantined imports this tuple.
 QUARANTINED_MODULES = (
     "test_qp_parity", "test_qp_scale", "test_qp_solvers",
     "test_quadratic_cost", "test_quadrotor", "test_riccati_assoc",
@@ -58,6 +58,10 @@ QUARANTINED_MODULES = (
 )
 
 
+import pytest
+
+
+@pytest.hookimpl(trylast=True)
 def pytest_collection_modifyitems(session, config, items):
     """Quarantine the suite's back half into a fresh subprocess in full runs.
 
@@ -69,14 +73,18 @@ def pytest_collection_modifyitems(session, config, items):
     2), so the whole back half now re-runs in a clean interpreter, where
     it always passes (tests/test_zz_quarantined.py).  Small selections
     (under the threshold) run in-process as usual.
-    """
-    import pytest
 
+    ``trylast`` runs this after pytest's own ``-k``/``-m`` deselection, so
+    the quarantine only engages when the zz subprocess runner itself
+    survived filtering -- a selection that deselects ``test_zz_*`` keeps
+    the back half in-process instead of silently never running it.
+    """
+    runner_selected = any("test_zz_quarantined" in i.nodeid for i in items)
     ww = [
         i for i in items
         if any(mod in i.nodeid for mod in QUARANTINED_MODULES)
     ]
-    if ww and len(items) > len(ww) + 50:
+    if ww and runner_selected and len(items) > len(ww) + 50:
         marker = pytest.mark.skip(
             reason="full-suite run: executed in a fresh subprocess by "
                    "test_zz_quarantined.py (XLA:CPU long-session segfault)"

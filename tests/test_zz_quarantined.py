@@ -14,12 +14,17 @@ import os
 import subprocess
 import sys
 
-QUARANTINED = (
-    "test_qp_parity", "test_qp_scale", "test_qp_solvers",
-    "test_quadratic_cost", "test_quadrotor", "test_riccati_assoc",
-    "test_state_bounds_al", "test_strategies", "test_traj_qp",
-    "test_warm_workspace",
+# Single source of truth for the module list: import the suite's conftest
+# by path (tests/ has no __init__.py, so a plain import isn't guaranteed).
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location(
+    "_mas_tests_conftest",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "conftest.py"),
 )
+_conftest = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_conftest)
+QUARANTINED = _conftest.QUARANTINED_MODULES
 
 
 def test_quarantined_back_half_in_fresh_process():
