@@ -39,6 +39,12 @@ efficiency diagnostics (VERDICT r1 item 9):
   tests/test_fused_loop.py) and throughput rises ~1.45x.  The acceptance
   rule itself (largest improving candidate, monotone merit) is unchanged.
 
+* The fused kernels run with the auto lane fold (``ILQRConfig.lane_fold``):
+  8 batch tiles folded into the sublane axis of every kernel block, so
+  each op in the sequential time-grid kernels covers 8 independent vector
+  registers.  Bit-identical results (tests/test_fused_loop.py), measured
+  441.9k -> 681.0k solves/s at this batch (docs/BENCHMARKS.md).
+
 Baseline: the C++ reference solves this problem (nx=4, nu=2, T=80, dt=0.1,
 10 iLQR iterations) in ~1.06887 ms single-threaded (reference
 README.md:167), i.e. ~935.6 solves/s.

@@ -41,7 +41,7 @@ TILE = SUB * LANE
 def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
                  has_bounds, has_context,
                  eq_fn=None, eq_dim=0, ineq_fn=None, ineq_dim=0, act_tol=1e-6,
-                 emit_lin=False, lin_discrete=True):
+                 emit_lin=False, lin_discrete=True, sub=SUB):
     f32 = jnp.float32
 
     def rk4(x, u):
@@ -99,7 +99,7 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         def al_terms(x, u):
             """AL merit terms with the inequality activation mask
             (reference compute_merit, ilqr.hpp:386-403)."""
-            total = jnp.zeros((SUB, LANE), jnp.float32)
+            total = jnp.zeros((sub, LANE), jnp.float32)
             rho = rho_ref[0]
             if eq_dim > 0:
                 g = eq_fn(x, u)          # [m, 8, 128]
@@ -134,7 +134,7 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         def _():
             for a in range(A):
                 xA_s[a] = x_ref         # trial state starts at x_ref[0] == x0
-            costA_s[...] = jnp.zeros((A, SUB, LANE), f32)
+            costA_s[...] = jnp.zeros((A, sub, LANE), f32)
 
         @pl.when(phase1)
         def _():
@@ -150,8 +150,8 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         @pl.when(t == T)
         def _():
             merit = merit_ref[0]
-            sel = jnp.zeros((SUB, LANE), f32)
-            found = jnp.zeros((SUB, LANE), jnp.bool_)
+            sel = jnp.zeros((sub, LANE), f32)
+            found = jnp.zeros((sub, LANE), jnp.bool_)
             best_cost = merit
             # Iterate from smallest alpha up so the LARGEST improving alpha
             # is applied last (reference first-accept order).
@@ -234,9 +234,9 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
     return kernel
 
 
-def _to_lanes(x: Array, Lp: int):
+def _to_lanes(x: Array, Lp: int, sub: int = SUB):
     x = jnp.moveaxis(x, 0, -1)
-    x = x.reshape(x.shape[:-1] + (Lp // TILE, SUB, LANE))
+    x = x.reshape(x.shape[:-1] + (Lp // (sub * LANE), sub, LANE))
     return jnp.moveaxis(x, -3, 0)
 
 
@@ -278,6 +278,7 @@ def forward_select_pallas_tiled(
     """
     nl, T, nx = xref_l.shape[:3]
     nu = uref_l.shape[2]
+    sub = xref_l.shape[-2]          # 8, or a folded multiple of 8 (lane_fold)
     A = len(alphas)
     dtype = jnp.float32
     has_bounds = spec.has_input_bounds
@@ -293,16 +294,17 @@ def forward_select_pallas_tiled(
         eq_fn=spec.equality_constraints, eq_dim=eq_dim,
         ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
         act_tol=act_tol, emit_lin=emit_lin, lin_discrete=lin_discrete,
+        sub=sub,
     )
 
     tmod = lambda t: jnp.where(t >= T, t - T, t)
     tspec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (SUB, LANE),
+        (1, 1) + inner + (sub, LANE),
         lambda b, t: (b, tmod(t)) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
     cspec = lambda *inner: pl.BlockSpec(
-        (1,) + inner + (SUB, LANE),
+        (1,) + inner + (sub, LANE),
         lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -327,7 +329,7 @@ def forward_select_pallas_tiled(
                       (nu, nx)):
             lin_specs.append(tspec(*inner))
             lin_shapes.append(
-                jax.ShapeDtypeStruct((nl, T) + inner + (SUB, LANE), dtype)
+                jax.ShapeDtypeStruct((nl, T) + inner + (sub, LANE), dtype)
             )
 
     return pl.pallas_call(
@@ -339,16 +341,16 @@ def forward_select_pallas_tiled(
         ] + extra_specs,
         out_specs=[tspec(nx), tspec(nu), cspec(), cspec()] + lin_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((nl, T, nx, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, T, nu, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nl, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, T, nx, sub, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, T, nu, sub, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, sub, LANE), dtype),
+            jax.ShapeDtypeStruct((nl, sub, LANE), dtype),
         ] + lin_shapes,
         scratch_shapes=[
-            pltpu.VMEM((A, nx, SUB, LANE), dtype),
-            pltpu.VMEM((A, SUB, LANE), dtype),
-            pltpu.VMEM((nx, SUB, LANE), dtype),
-            pltpu.VMEM((SUB, LANE), dtype),
+            pltpu.VMEM((A, nx, sub, LANE), dtype),
+            pltpu.VMEM((A, sub, LANE), dtype),
+            pltpu.VMEM((nx, sub, LANE), dtype),
+            pltpu.VMEM((sub, LANE), dtype),
         ],
         interpret=interpret,
     )(xref_l.astype(dtype), uref_l.astype(dtype), k_l.astype(dtype),

@@ -151,13 +151,14 @@ def linearize_pallas_tiled(
     """
     nb, T, nx = xs_stage_l.shape[:3]
     nu = us_l.shape[2]
+    sub = xs_stage_l.shape[-2]      # 8, or a folded multiple of 8 (lane_fold)
     has_context = ctx_l is not None
     kernel = _make_kernel(nx, nu, spec.dt, spec.dynamics, spec.stage_cost,
                           discrete, has_context=has_context)
 
     # Reuse the flat kernel body: block index (b, t) feeds one (8, 128) tile.
     tspec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (SUB, LANE),
+        (1, 1) + inner + (sub, LANE),
         lambda b, t: (b, t) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -177,7 +178,7 @@ def linearize_pallas_tiled(
         kernel(*map(_View, refs))
 
     t_l = jnp.broadcast_to(
-        jnp.arange(T, dtype=jnp.float32)[None, :, None, None], (nb, T, SUB, LANE)
+        jnp.arange(T, dtype=jnp.float32)[None, :, None, None], (nb, T, sub, LANE)
     )
     ctx_inputs, ctx_specs = [], []
     if has_context:
@@ -192,13 +193,13 @@ def linearize_pallas_tiled(
             tspec(nx, nx), tspec(nu, nu), tspec(nu, nx),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, T, nx, nx, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, nu, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, nx, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, nu, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, nu, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nu, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, sub, LANE), jnp.float32),
         ],
         interpret=interpret,
     )(xs_stage_l.astype(jnp.float32), us_l.astype(jnp.float32), t_l, *ctx_inputs)

@@ -149,7 +149,7 @@ def _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx):
 
 
 def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
-                 boxqp: bool = False, terminal_fn=None):
+                 boxqp: bool = False, terminal_fn=None, sub: int = SUB):
     def kernel(*refs):
         if boxqp:
             (A_ref, B_ref, lx_ref, lu_ref, lxx_ref, luu_ref, lux_ref,
@@ -227,7 +227,7 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
                 ok = jnp.logical_and(ok, _det_rect(Qs, list(range(kdim)), list(range(kdim))) > 0.0)
             return ok
 
-        best = jnp.full((SUB, LANE), reg_levels[-1], jnp.float32)
+        best = jnp.full((sub, LANE), reg_levels[-1], jnp.float32)
         for level in reversed(reg_levels):
             best = jnp.where(minors_ok(level), jnp.float32(level), best)
 
@@ -306,6 +306,7 @@ def riccati_backward_pallas_tiled(
     """
     nb, T, nx = A_l.shape[:3]
     nu = B_l.shape[3]
+    sub = A_l.shape[-2]             # 8, or a folded multiple of 8 (lane_fold)
     dtype = jnp.float32
     boxqp = lb_l is not None
 
@@ -313,16 +314,16 @@ def riccati_backward_pallas_tiled(
         float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
         for j in range(reg_levels)
     )
-    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp, terminal_fn=terminal_fn)
+    kernel = _make_kernel(T, nx, nu, levels, boxqp=boxqp, terminal_fn=terminal_fn, sub=sub)
 
     rev = lambda b, t: (b, T - 1 - t)
     spec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (SUB, LANE),
+        (1, 1) + inner + (sub, LANE),
         lambda b, t: rev(b, t) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
     spec0 = lambda *inner: pl.BlockSpec(
-        (1,) + inner + (SUB, LANE),
+        (1,) + inner + (sub, LANE),
         lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -344,12 +345,12 @@ def riccati_backward_pallas_tiled(
         ],
         out_specs=[spec(nu), spec(nu, nx)],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, T, nu, SUB, LANE), dtype),
-            jax.ShapeDtypeStruct((nb, T, nu, nx, SUB, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nu, sub, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, sub, LANE), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nx, SUB, LANE), dtype),
-            pltpu.VMEM((nx, nx, SUB, LANE), dtype),
+            pltpu.VMEM((nx, sub, LANE), dtype),
+            pltpu.VMEM((nx, nx, sub, LANE), dtype),
         ],
         interpret=interpret,
     )(*inputs)

@@ -84,6 +84,15 @@ class ILQRConfig:
     # taken) and later iterations the short alpha_ladder (refinement
     # phase).  Fused path only; 0 = same ladder every iteration.
     alpha_warmup: int = 0
+    # Fused-path lane fold: pack this many 1024-problem batch tiles into the
+    # sublane axis of every kernel block, so each elementwise op inside the
+    # sequential-grid kernels covers fold x (8, 128) vector registers.  The
+    # time recursion serializes grid steps; with one vreg per op the VPU sat
+    # at ~15% utilization (latency/overhead-bound, BENCH_r02) -- folding
+    # raises per-step ILP near-linearly until VMEM or issue width binds.
+    # 0 = auto (largest power of two <= 8 that divides the batch tiles and
+    # fits the Riccati kernel's per-step VMEM budget).
+    lane_fold: int = 0
     # Host wall-clock budget (reference: ilqr.hpp:84-90).  Ignored unless
     # enforce_max_ms is set -- see solvers/base.py deadline machinery.
     max_ms: float = 0.0
@@ -801,6 +810,25 @@ def _solve_ilqr_batched_fused(
     Bp = B + pad
     nb = Bp // TILE
 
+    # Lane fold (see ILQRConfig.lane_fold): every kernel block carries
+    # ``fold`` batch tiles on a widened (fold*8, 128) sublane axis.  The
+    # Riccati kernel has the largest per-grid-step footprint; keep its
+    # double-buffered blocks + scratch within ~8 MB of the 16 MB VMEM.
+    ric_tiles = (2 * nx * nx + 2 * nx * nu + nx + nu + nu * nu
+                 + (2 * nu if use_boxqp else 0)        # bound blocks
+                 + nu + nu * nx)                       # outputs
+    per_fold_bytes = (2 * ric_tiles + nx + nx * nx) * TILE * 4
+    fold = config.lane_fold
+    if fold <= 0:
+        fold = 8
+        while fold > 1 and (nb % fold or fold * per_fold_bytes > 8 << 20):
+            fold //= 2
+    fold = max(1, min(fold, nb))
+    if nb % fold:
+        fold = 1
+    SUBL = SUB * fold                                  # sublane width
+    nb = nb // fold                                    # grid rows
+
     def padded(x):
         if pad:
             # Replicate the first problem into pad lanes: keeps the padded
@@ -810,7 +838,7 @@ def _solve_ilqr_batched_fused(
             x = jnp.concatenate([x, fill], 0)
         return x.astype(f32)
 
-    pack = lambda arr: _to_lanes(padded(arr), Bp)       # [Bp,...] -> [nb,...,8,128]
+    pack = lambda arr: _to_lanes(padded(arr), Bp, SUBL) # [Bp,...] -> [nb,...,SUBL,128]
 
     # --- one-time tiling --------------------------------------------------
     x0_l = pack(specs.initial_state)                    # [nb, nx, 8, 128]
@@ -821,8 +849,8 @@ def _solve_ilqr_batched_fused(
         lb_l = pack(jnp.broadcast_to(specs.input_lower_bounds, (B, nu)))
         ub_l = pack(jnp.broadcast_to(specs.input_upper_bounds, (B, nu)))
     else:
-        lb_l = jnp.zeros((nb, nu, SUB, LANE), f32)
-        ub_l = jnp.zeros((nb, nu, SUB, LANE), f32)
+        lb_l = jnp.zeros((nb, nu, SUBL, LANE), f32)
+        ub_l = jnp.zeros((nb, nu, SUBL, LANE), f32)
 
     ladder_full = _alpha_ladder_floats(config.alpha_min)
     ladder_short = (
@@ -837,29 +865,29 @@ def _solve_ilqr_batched_fused(
         lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
     )
     discrete = config.jacobian_mode == "discrete"
-    zeros_like_k = jnp.zeros((nb, T, nu, SUB, LANE), f32)
-    zeros_like_K = jnp.zeros((nb, T, nu, nx, SUB, LANE), f32)
-    vxx_dummy = jnp.zeros((nb, nx, nx, SUB, LANE), f32)
+    zeros_like_k = jnp.zeros((nb, T, nu, SUBL, LANE), f32)
+    zeros_like_K = jnp.zeros((nb, T, nu, nx, SUBL, LANE), f32)
+    vxx_dummy = jnp.zeros((nb, nx, nx, SUBL, LANE), f32)
 
     # Initial rollout + cost in ONE select launch: alpha = 0 with zero gains
     # applies the initial controls raw.  Bounds are stripped like
     # rollout_select does -- reference plain rollouts never clamp, so
     # out-of-box initial controls must pass through unchanged.
-    x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUB, LANE))
+    x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUBL, LANE))
     spec_init = spec0.replace(input_lower_bounds=None, input_upper_bounds=None)
     xs_tail_l0, _, obj_l0, _ = forward_select_pallas_tiled(
         spec_init, x0_bc, us_l0, zeros_like_k, zeros_like_K,
-        jnp.full((nb, SUB, LANE), jnp.inf, f32), lb_l, ub_l,
+        jnp.full((nb, SUBL, LANE), jnp.inf, f32), lb_l, ub_l,
         (0.0,), interpret, ctx_l=ctx_l,
     )
 
     eq_dim, ineq_dim = specs.eq_dim, specs.ineq_dim
     has_al = eq_dim > 0 or ineq_dim > 0
-    eq_mult_l0 = jnp.zeros((nb, T, eq_dim, SUB, LANE), f32)
-    ineq_mult_l0 = jnp.zeros((nb, T, ineq_dim, SUB, LANE), f32)
-    rho_l0 = jnp.full((nb, SUB, LANE), config.penalty, f32)
-    converged_l0 = jnp.zeros((nb, SUB, LANE), bool)
-    zeros_lane = jnp.zeros((nb, SUB, LANE), f32)
+    eq_mult_l0 = jnp.zeros((nb, T, eq_dim, SUBL, LANE), f32)
+    ineq_mult_l0 = jnp.zeros((nb, T, ineq_dim, SUBL, LANE), f32)
+    rho_l0 = jnp.full((nb, SUBL, LANE), config.penalty, f32)
+    converged_l0 = jnp.zeros((nb, SUBL, LANE), bool)
+    zeros_lane = jnp.zeros((nb, SUBL, LANE), f32)
 
     def stage_vals(fn, dim, xs_stage_l, us_l):
         return (_lane_constraint_vals(fn, dim, xs_stage_l, us_l)
@@ -984,7 +1012,7 @@ def _solve_ilqr_batched_fused(
                 & (ineq_viol < config.constraint_tolerance)
             )
             mask = lambda new, old: jnp.where(
-                active.reshape((nb,) + (1,) * (new.ndim - 3) + (SUB, LANE)),
+                active.reshape((nb,) + (1,) * (new.ndim - 3) + (SUBL, LANE)),
                 new, old,
             )
             return (

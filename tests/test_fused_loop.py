@@ -60,6 +60,29 @@ class TestFusedLoop:
             np.asarray(sched.cost), np.asarray(ref.cost), rtol=1e-6
         )
 
+    def test_lane_fold_is_bit_exact(self):
+        """The lane fold (ILQRConfig.lane_fold) packs F batch tiles into the
+        sublane axis of every fused-kernel block -- a pure relabeling of
+        which (sublane, lane) coordinate a problem occupies, so results must
+        be BIT-identical to the unfolded layout, fold for fold."""
+        spec = single_track_lane_ocp().spec()
+        B = 2048                               # 2 tiles: folds 1 and 2 differ
+        y = jnp.linspace(0.4, 2.2, B)
+        x0s = jnp.tile(spec.initial_state, (B, 1)).at[:, 1].set(y)
+        specs = jax.vmap(lambda x0: spec.replace(initial_state=x0))(x0s)
+        config = lambda f: ILQRConfig(max_iterations=4, tolerance=1e-5,
+                                      alpha_ladder=(1.0, 0.5, 0.125),
+                                      lane_fold=f)
+        base = solve_ilqr_batched(specs, config(1))
+        for fold in (2, 0):                    # explicit fold and auto
+            other = solve_ilqr_batched(specs, config(fold))
+            np.testing.assert_array_equal(
+                np.asarray(base.cost), np.asarray(other.cost)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(base.controls), np.asarray(other.controls)
+            )
+
     def test_boxqp_mode_matches(self):
         specs = _specs(3)
         config = ILQRConfig(max_iterations=40, tolerance=1e-9,
