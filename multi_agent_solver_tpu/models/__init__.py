@@ -14,6 +14,7 @@ from .single_track import (
 )
 from .dynamic_bicycle import dynamic_bicycle_model
 from .quadrotor import quadrotor_dynamics, HOVER_THRUST
+from .quadrotor_rotor import quadrotor_rotor_dynamics, HOVER_ROTOR_THRUST
 from .lqr import make_linear_dynamics, quadratic_stage_cost, quadratic_terminal_cost
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "dynamic_bicycle_model",
     "quadrotor_dynamics",
     "HOVER_THRUST",
+    "quadrotor_rotor_dynamics",
+    "HOVER_ROTOR_THRUST",
     "single_track_model",
     "single_track_state_jacobian",
     "single_track_control_jacobian",

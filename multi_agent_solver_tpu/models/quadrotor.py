@@ -3,10 +3,11 @@
 The reference's largest model is the 4-state kinematic bicycle
 (single_track_model.hpp); this 12-state quadrotor is the standard
 aerial-robotics benchmark and exercises the framework's large-state route:
-since round 3 the iLQR auto gate keeps nx <= 12 on the fused lane-resident
+since round 3 the iLQR auto gate keeps nx <= 16 on the fused lane-resident
 Pallas path (17.1k solves/s at batch 8192, 3.5x the XLA-scan route it used
-before -- docs/BENCHMARKS.md); nx > 12 hands off to the batched XLA-scan
-backward.
+before -- docs/BENCHMARKS.md); larger states hand off to the batched
+XLA-scan backward.  See quadrotor_rotor.py for the nx=16 actuator-lag
+variant.
 
 State ``(x, y, z, vx, vy, vz, phi, theta, psi, p, q, r)`` -- world
 position, world velocity, ZYX Euler angles, body rates.  Control

@@ -1096,9 +1096,10 @@ def solve_ilqr_batched(
     Identical semantics to ``vmap(solve_ilqr)`` but the Riccati backward pass
     runs as ONE fused Pallas kernel over all batch lanes (see
     ops/riccati_pallas.py) -- the hot path of the solves/s benchmark.
-    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 12, nu <= 4;
-    covers pairwise-stacked agents, richer vehicle models, and the nx=12
-    quadrotor -- measured 3.5x over the scan route at that size, r3).
+    ``backward``: 'pallas', 'scan', or 'auto' (pallas when nx <= 16, nu <= 4;
+    covers pairwise-stacked agents, richer vehicle models, the nx=12
+    quadrotor -- measured 3.5x over the scan route -- and the nx=16
+    rotor-lag quadrotor, measured 3.2x at batch 8192, r3).
     ``fused``: 'auto' (default) routes eligible problems (lane-traceable
     dynamics/costs, AD mode, unconstrained, no context) through the fully
     lane-resident iteration loop (:func:`_solve_ilqr_batched_fused`);
@@ -1121,7 +1122,7 @@ def solve_ilqr_batched(
         fused = config.fused == "on"
 
     if backward == "auto":
-        backward = "pallas" if (nx <= 12 and nu <= 4) else "scan"
+        backward = "pallas" if (nx <= 16 and nu <= 4) else "scan"
     if config.ddp:
         backward = "scan"   # dynamics-Hessian terms live on the scan path
         fused = False

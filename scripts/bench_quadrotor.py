@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(batch: int, horizon: int, iters: int):
+def build(batch: int, horizon: int, iters: int, lane_fold: int = 0):
     from multi_agent_solver_tpu.models import quadrotor_dynamics, HOVER_THRUST
     from multi_agent_solver_tpu.ocp import OCP
     from multi_agent_solver_tpu.solvers.ilqr import ILQRConfig, solve_ilqr_batched
@@ -47,7 +47,8 @@ def build(batch: int, horizon: int, iters: int):
     )
     ocp.initialize_problem()
     spec = ocp.spec()
-    config = ILQRConfig(max_iterations=iters, tolerance=1e-6)
+    config = ILQRConfig(max_iterations=iters, tolerance=1e-6,
+                        lane_fold=lane_fold)
 
     rng = np.random.RandomState(0)
     x0 = np.zeros((batch, 12), np.float32)

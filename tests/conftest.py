@@ -52,7 +52,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # window.  Single source of truth: test_zz_quarantined imports this tuple.
 QUARANTINED_MODULES = (
     "test_qp_parity", "test_qp_scale", "test_qp_solvers",
-    "test_quadratic_cost", "test_quadrotor", "test_riccati_assoc",
+    "test_quadratic_cost", "test_quadrotor", "test_quadrotor_rotor",
+    "test_riccati_assoc",
     "test_state_bounds_al", "test_strategies", "test_traj_qp",
     "test_warm_workspace",
 )

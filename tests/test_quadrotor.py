@@ -1,8 +1,8 @@
 """Quadrotor model (nx=12, nu=4 -- beyond the reference's model zoo).
 
-Exercises the large-state route: nx=12 > 8, so the iLQR auto gate hands the
-backward pass to the batched XLA scan (docs/BENCHMARKS.md nx=16 probe shows
-that is also the faster backend there), and the solve must still reach a
+Exercises the large-state route (nx=12 is the zoo's second-largest model;
+since round 3 the auto gate keeps it on the fused Pallas kernels, measured
+3.5x the scan route -- docs/BENCHMARKS.md), and the solve must reach a
 stabilizing hover.
 """
 
