@@ -214,3 +214,54 @@ def spd_inv_unrolled(Q: Array) -> Array:
             row.append(cache[(a, b)])
         rows.append(jnp.stack(row, axis=-1))
     return jnp.stack(rows, axis=-2)
+
+
+def matmul_kloop(A: Array, B: Array) -> Array:
+    """Batched small matmul as a static k-loop of fused multiply-adds.
+
+    XLA:TPU lowers batched tiny ``dot_general``s (e.g. [B, 40, 40] @
+    [B, 40, 40]) the same catastrophic way as the tiny LU above -- padded
+    MXU tiles or serialized loops.  A Python loop over the static
+    contraction index emits k elementwise [.., m, n] FMAs instead, which
+    batch perfectly on the VPU.  Intended for m, n, k <= ~128.
+    """
+    k = A.shape[-1]
+    out = A[..., :, 0:1] * B[..., 0:1, :]
+    for i in range(1, k):
+        out = out + A[..., :, i:i + 1] * B[..., i:i + 1, :]
+    return out
+
+
+def spd_inv_blocked(Q: Array, max_unroll: int = 32) -> Array:
+    """Batched SPD inverse for medium static n (32 < n <= ~128).
+
+    Recursive 2x2 block Schur inversion: split Q = [[A, B], [B', C]],
+    invert A and the Schur complement S = C - B' A^{-1} B recursively
+    (bottoming out in :func:`spd_inv_unrolled`), and assemble
+
+        Q^{-1} = [[A^{-1} + W S^{-1} W',  -W S^{-1}],
+                  [      -S^{-1} W',        S^{-1}]],   W = A^{-1} B.
+
+    All block products go through :func:`matmul_kloop`, so the whole
+    inverse is static-index elementwise VPU work.  This is the path for
+    centralized multi-agent joint problems whose stacked stage blocks
+    exceed the direct unroll's sweet spot (e.g. 10 stacked 4-state agents:
+    80-wide KKT blocks), where ``jnp.linalg.inv`` falls into the
+    serialized-tiny-LU pit documented on :func:`spd_inv_unrolled`.
+    """
+    n = Q.shape[-1]
+    if n <= max_unroll:
+        return spd_inv_unrolled(Q)
+    m = n // 2
+    A = Q[..., :m, :m]
+    B = Q[..., :m, m:]
+    C = Q[..., m:, m:]
+    Ai = spd_inv_blocked(A, max_unroll)
+    W = matmul_kloop(Ai, B)                              # A^{-1} B
+    S = C - matmul_kloop(jnp.swapaxes(B, -1, -2), W)     # Schur complement
+    Si = spd_inv_blocked(S, max_unroll)
+    WSi = matmul_kloop(W, Si)
+    TL = Ai + matmul_kloop(WSi, jnp.swapaxes(W, -1, -2))
+    top = jnp.concatenate([TL, -WSi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WSi, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
