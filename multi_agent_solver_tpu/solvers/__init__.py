@@ -19,6 +19,7 @@ from .base import (
 from .admm_qp import ADMMConfig, QPSolution, solve_box_qp
 from .cgd import CGD, CGDConfig, solve_cgd
 from .ilqr import ILQR, ILQRConfig, solve_ilqr
+from .mppi import MPPI, MPPIConfig, solve_mppi
 from .osqp_shooting import OSQP, OSQPShootingConfig, solve_osqp_shooting
 from .osqp_collocation import OSQPCollocation, OSQPCollocationConfig, solve_osqp_collocation
 
@@ -53,6 +54,9 @@ __all__ = [
     "ILQR",
     "ILQRConfig",
     "solve_ilqr",
+    "MPPI",
+    "MPPIConfig",
+    "solve_mppi",
     "OSQP",
     "OSQPShootingConfig",
     "solve_osqp_shooting",

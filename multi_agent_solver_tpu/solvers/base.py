@@ -184,6 +184,9 @@ _SOLVER_ALIASES = {
     "cgd": "cgd",
     "osqp": "osqp",
     "osqpcollocation": "osqp_collocation",
+    # Beyond-reference sampling solver (no reference counterpart).
+    "mppi": "mppi",
+    "pathintegral": "mppi",
 }
 
 
