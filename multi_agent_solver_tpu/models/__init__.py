@@ -12,6 +12,11 @@ from .single_track import (
     single_track_state_jacobian,
     single_track_control_jacobian,
 )
+from .cartpole import (
+    cartpole_dynamics,
+    cartpole_swing_up_stage_cost,
+    cartpole_swing_up_terminal_cost,
+)
 from .dynamic_bicycle import dynamic_bicycle_model
 from .quadrotor import quadrotor_dynamics, HOVER_THRUST
 from .quadrotor_rotor import quadrotor_rotor_dynamics, HOVER_ROTOR_THRUST
@@ -25,6 +30,9 @@ __all__ = [
     "make_rocket_dynamics",
     "make_rocket_state_jacobian",
     "make_rocket_control_jacobian",
+    "cartpole_dynamics",
+    "cartpole_swing_up_stage_cost",
+    "cartpole_swing_up_terminal_cost",
     "dynamic_bicycle_model",
     "quadrotor_dynamics",
     "HOVER_THRUST",
