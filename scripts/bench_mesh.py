@@ -150,8 +150,14 @@ def main(argv=None) -> int:
             check_vma=False,
         ))
 
+        # Chained-input sync scalar: a GLOBAL reduction (psum across the
+        # sharded axis -> replicated), so it is addressable -- and identical
+        # -- on every process.  Indexing ``cost[0]`` would only be
+        # addressable on the process holding shard 0.
+        sync = jax.jit(lambda r: jnp.sum(r.cost) * 1e-15)
+
         result = jitted(specs)
-        acc = result.cost[0] * 1e-12
+        acc = sync(result)
         float(acc)  # sync warmup/compile
         times = []
         for _ in range(args.reps):
@@ -159,7 +165,7 @@ def main(argv=None) -> int:
             result = jitted(
                 specs.replace(initial_state=specs.initial_state + acc)
             )
-            acc = result.cost[0] * 1e-12
+            acc = sync(result)
             float(acc)
             times.append(time.perf_counter() - t0)
         t = float(np.median(times))
@@ -170,7 +176,9 @@ def main(argv=None) -> int:
         rows.append({
             "devices": n, "batch": batch, "solves_per_s": round(rate, 1),
             "per_device": round(rate / n, 1), "efficiency": round(eff, 4),
-            "median_cost": round(float(jnp.median(result.cost)), 5),
+            # jitted: a global median over a cross-process-sharded array
+            # must run as a collective program, not host-side indexing.
+            "median_cost": round(float(jax.jit(jnp.median)(result.cost)), 5),
         })
         print(f"devices={n:>3} batch={batch:>8} {rate:>12,.0f} solves/s "
               f"({rate / n:,.0f}/device, eff {eff:.1%})")

@@ -25,6 +25,7 @@ EXAMPLES = (
     "rocket_max_altitude",
     "multi_agent_lqr",
     "multi_agent_single_track",
+    "cartpole_swing_up",
 )
 
 

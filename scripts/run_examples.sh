@@ -16,4 +16,5 @@ run rocket_max_altitude --solver cgd
 run multi_agent_lqr --agents 3 --strategy sequential
 run multi_agent_single_track --agents 4 --strategy trustregion
 run single_track_mpc --steps 30
+run cartpole_swing_up --solver ilqr
 echo "all examples ran"
