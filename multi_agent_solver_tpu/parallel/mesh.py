@@ -274,7 +274,12 @@ def initialize_distributed(**kwargs) -> None:
     auto-detection (TPU metadata / cluster env vars) and stays a silent
     no-op on plain single-host environments.
     """
-    if jax.process_count() > 1:
+    # Idempotence guard.  NOT jax.process_count(): that would itself
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run ("must be called before any JAX calls") -- the guard
+    # would break the very launch it guards (found by
+    # scripts/multiprocess_smoke.py).
+    if jax.distributed.is_initialized():
         return  # already initialized
     explicit = any(v is not None for v in kwargs.values())
     kwargs = {k: v for k, v in kwargs.items() if v is not None}

@@ -62,6 +62,13 @@ def solve_config():
 
 
 def worker(args) -> int:
+    # This environment's jax build hardwires platforms to "axon,cpu" and
+    # IGNORES the JAX_PLATFORMS env var -- pin CPU via config before any
+    # backend initializes, or the worker hangs trying to reach the TPU
+    # tunnel (see tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     from multi_agent_solver_tpu.parallel.mesh import initialize_distributed
 
     initialize_distributed(
@@ -70,7 +77,6 @@ def worker(args) -> int:
         process_id=args.process_id,
     )
 
-    import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -35,11 +35,19 @@ from multi_agent_solver_tpu.ops.riccati_pallas import riccati_backward_pallas_ti
 
 B = int(os.environ.get("B", "32768"))
 REPS = int(os.environ.get("REPS", "10"))
+# Production defaults (bench.py): lane fold 8, short 3-rung ladder.  Set
+# FOLD=1 / LADDER=full for the round-2 configuration.
+FOLD = int(os.environ.get("FOLD", "8"))
+LADDER = os.environ.get("LADDER", "short")
 
 spec = _single_track_spec(dtype=jnp.float32)
-config = ILQRConfig(max_iterations=10, tolerance=1e-5)
+config = ILQRConfig(max_iterations=10, tolerance=1e-5,
+                    alpha_ladder=(1.0, 0.5, 0.125) if LADDER == "short" else None,
+                    lane_fold=FOLD)
 T, nx, nu = spec.horizon_steps, spec.state_dim, spec.control_dim
-nb = B // TILE
+SUBL = SUB * FOLD
+nb = B // (SUBL * LANE)
+assert nb > 0, "B must be >= FOLD * 1024"
 f32 = jnp.float32
 
 rng = np.random.RandomState(0)
@@ -47,23 +55,26 @@ x0 = np.zeros((B, 4), np.float32)
 x0[:, 1] = rng.uniform(0.5, 1.5, B)
 x0 = jnp.asarray(x0)
 
-pack = lambda arr: _to_lanes(arr.astype(f32), B)
+pack = lambda arr: _to_lanes(arr.astype(f32), B, SUBL)
 x0_l = pack(x0)
-us_l = jnp.zeros((nb, T, nu, SUB, LANE), f32)
+us_l = jnp.zeros((nb, T, nu, SUBL, LANE), f32)
 lb_l = pack(jnp.broadcast_to(spec.input_lower_bounds, (B, nu)))
 ub_l = pack(jnp.broadcast_to(spec.input_upper_bounds, (B, nu)))
-alphas = _alpha_ladder_floats(config.alpha_min)
-vxx_dummy = jnp.zeros((nb, nx, nx, SUB, LANE), f32)
+alphas = (
+    (1.0, 0.5, 0.125) if LADDER == "short"
+    else _alpha_ladder_floats(config.alpha_min)
+)
+vxx_dummy = jnp.zeros((nb, nx, nx, SUBL, LANE), f32)
 
 # A plausible mid-solve trajectory: roll the initial controls.
-x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUB, LANE))
-zk = jnp.zeros((nb, T, nu, SUB, LANE), f32)
-zK = jnp.zeros((nb, T, nu, nx, SUB, LANE), f32)
+x0_bc = jnp.broadcast_to(x0_l[:, None], (nb, T, nx, SUBL, LANE))
+zk = jnp.zeros((nb, T, nu, SUBL, LANE), f32)
+zK = jnp.zeros((nb, T, nu, nx, SUBL, LANE), f32)
 spec_nb = spec.replace(input_lower_bounds=None, input_upper_bounds=None)
 xs_tail_l, _, obj_l, _ = jax.jit(
     lambda xb: forward_select_pallas_tiled(
-        spec_nb, jnp.broadcast_to(xb[:, None], (nb, T, nx, SUB, LANE)), us_l,
-        zk, zK, jnp.full((nb, SUB, LANE), jnp.inf, f32), lb_l, ub_l,
+        spec_nb, jnp.broadcast_to(xb[:, None], (nb, T, nx, SUBL, LANE)), us_l,
+        zk, zK, jnp.full((nb, SUBL, LANE), jnp.inf, f32), lb_l, ub_l,
         (0.0,), False,
     )
 )(x0_l)
@@ -122,7 +133,7 @@ def _select(xs_stage, us, k, K, merit):
 
 
 _, t_sel = timeit(
-    "forward_select_pallas_tiled (11 rolls)", _select,
+    f"forward_select_pallas_tiled ({len(alphas) + 1} rolls)", _select,
     xs_stage_l, us_l, k_l, K_l, obj_l,
 )
 

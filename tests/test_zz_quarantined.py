@@ -5,14 +5,22 @@ XLA:CPU backend segfaults inside ``backend_compile`` after ~40 minutes of
 single-process compiles; the crash lands wherever the next fresh compile
 happens to be (test_warm_workspace in round 1, test_qp_solvers once the
 suite grew).  This module (named ``zz`` so it collects last) re-runs the
-suite's quarantined back half in a clean interpreter, where it always
-passes.  The conftest threshold keeps the subprocess itself from
-re-quarantining (it collects fewer than threshold items).
+suite's quarantined back half in clean interpreters, where it always
+passes.  The conftest threshold keeps the subprocesses themselves from
+re-quarantining (each collects fewer than threshold items).
+
+Round 4: the quarantined half itself outgrew the crash window -- one
+subprocess running all 11 modules cold aborts (SIGABRT) near its end just
+like the main session used to -- so the runner now shards the modules
+into THREE subprocesses, each comfortably inside the window, surfaced as
+three pytest cases so a shard failure names its modules.
 """
 
 import os
 import subprocess
 import sys
+
+import pytest
 
 # Single source of truth for the module list: import the suite's conftest
 # by path (tests/ has no __init__.py, so a plain import isn't guaranteed).
@@ -26,15 +34,19 @@ _conftest = _ilu.module_from_spec(_spec)
 _spec.loader.exec_module(_conftest)
 QUARANTINED = _conftest.QUARANTINED_MODULES
 
+N_SHARDS = 3
+SHARDS = [tuple(QUARANTINED[i::N_SHARDS]) for i in range(N_SHARDS)]
 
-def test_quarantined_back_half_in_fresh_process():
+
+@pytest.mark.parametrize("shard", range(N_SHARDS))
+def test_quarantined_back_half_in_fresh_process(shard):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = [f"tests/{m}.py" for m in QUARANTINED]
+    files = [f"tests/{m}.py" for m in SHARDS[shard]]
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", *files, "-q"],
         cwd=repo, capture_output=True, text=True, timeout=2700,
     )
     assert proc.returncode == 0, (
-        f"quarantined-back-half subprocess failed:\n{proc.stdout[-4000:]}\n"
-        f"{proc.stderr[-2000:]}"
+        f"quarantined shard {shard} ({SHARDS[shard]}) failed:\n"
+        f"{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}"
     )
