@@ -45,6 +45,17 @@ efficiency diagnostics (VERDICT r1 item 9):
   registers.  Bit-identical results (tests/test_fused_loop.py), measured
   441.9k -> 681.0k solves/s at this batch (docs/BENCHMARKS.md).
 
+* ``quadratic_cost=True, stationary_cost=True`` (round 4): the lane-follow
+  stage cost ``10 y^2 + (v-1)^2 + 0.1(delta^2 + a^2)`` is quadratic with
+  fixed weights, so its Hessian stacks are trajectory- AND time-invariant.
+  The fused path hoists them out of the iteration loop (the linearize
+  kernel skips the nested-jvp Hessian chains and 28 of its 58 output tiles
+  per stage) and the Riccati kernel reads ONE Hessian block per batch row
+  instead of per (row, stage) -- pure strength reduction, bit-identical
+  costs and controls (asserted in tests/test_fused_loop.py; the reference
+  example likewise supplies analytic constant cost derivatives,
+  single_track_ocp.cpp:41-66).  Measured 685k -> 804k solves/s here.
+
 Baseline: the C++ reference solves this problem (nx=4, nu=2, T=80, dt=0.1,
 10 iLQR iterations) in ~1.06887 ms single-threaded (reference
 README.md:167), i.e. ~935.6 solves/s.
@@ -99,7 +110,8 @@ def _build(spec_dtype, batch):
 
     spec = _single_track_spec(dtype=spec_dtype)
     config = ILQRConfig(max_iterations=10, tolerance=1e-5,
-                        alpha_ladder=(1.0, 0.5, 0.125))
+                        alpha_ladder=(1.0, 0.5, 0.125),
+                        quadratic_cost=True, stationary_cost=True)
 
     rng = np.random.RandomState(0)
     x0 = np.zeros((batch, 4), np.float32)

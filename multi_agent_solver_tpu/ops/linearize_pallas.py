@@ -41,7 +41,7 @@ def _basis(n: int, j: int, like: Array) -> Array:
 
 
 def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool,
-                 has_context: bool = False):
+                 has_context: bool = False, hessians: bool = True):
     def step_map(x, u):
         if not discrete:
             return dynamics(x, u)
@@ -55,7 +55,10 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool,
         if has_context:
             ctx_ref = rest[0]
             rest = rest[1:]
-        (A_out, B_out, lx_out, lu_out, lxx_out, luu_out, lux_out) = rest
+        if hessians:
+            (A_out, B_out, lx_out, lu_out, lxx_out, luu_out, lux_out) = rest
+        else:
+            (A_out, B_out, lx_out, lu_out) = rest
         x = x_ref[0]          # [nx, 8, 128]
         u = u_ref[0]          # [nu, 8, 128]
         t = t_ref[0]          # [8, 128] float (cast of the int time index)
@@ -90,6 +93,13 @@ def _make_kernel(nx, nu, dt, dynamics, stage_cost, discrete: bool,
             lx_out[0, j] = lgrad_x(x, u, j)
         for j in range(nu):
             lu_out[0, j] = lgrad_u(x, u, j)
+
+        if not hessians:
+            # Quadratic-cost hoisting (solvers/ilqr.py fused path): the
+            # Hessian stacks are trajectory-independent and were computed
+            # once before the iteration loop -- skip their nested-jvp chains
+            # AND their 28-of-58 share of the output blocks entirely.
+            return
 
         # Hessians: jvp of the gradient (forward-over-forward).
         for i in range(nx):
@@ -137,6 +147,7 @@ def linearize_pallas_tiled(
     discrete: bool,
     interpret: bool = False,
     ctx_l: Array = None,  # [nb, T, C..., 8, 128] per-step cost context
+    hessians: bool = True,
 ) -> Tuple[Array, ...]:
     """Whole-horizon linearization directly in the riccati/select lane layout.
 
@@ -147,14 +158,17 @@ def linearize_pallas_tiled(
     zero layout conversions.  With ``ctx_l`` the stage cost is the 4-arg
     context form (inter-agent coupling); context is a constant w.r.t. the
     jvp tangents.  Outputs ``(A, B, lx, lu, lxx, luu, lux)``, each
-    ``[nb, T, ..., 8, 128]``.
+    ``[nb, T, ..., 8, 128]``; with ``hessians=False`` only
+    ``(A, B, lx, lu)`` (quadratic-cost hoisting -- the caller supplies
+    precomputed Hessian stacks).
     """
     nb, T, nx = xs_stage_l.shape[:3]
     nu = us_l.shape[2]
     sub = xs_stage_l.shape[-2]      # 8, or a folded multiple of 8 (lane_fold)
     has_context = ctx_l is not None
     kernel = _make_kernel(nx, nu, spec.dt, spec.dynamics, spec.stage_cost,
-                          discrete, has_context=has_context)
+                          discrete, has_context=has_context,
+                          hessians=hessians)
 
     # Reuse the flat kernel body: block index (b, t) feeds one (8, 128) tile.
     tspec = lambda *inner: pl.BlockSpec(
@@ -184,23 +198,26 @@ def linearize_pallas_tiled(
     if has_context:
         ctx_inputs.append(ctx_l.astype(jnp.float32))
         ctx_specs.append(tspec(*tuple(ctx_l.shape[2:-2])))
+    out_specs = [tspec(nx, nx), tspec(nx, nu), tspec(nx), tspec(nu)]
+    out_shape = [
+        jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((nb, T, nx, nu, sub, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((nb, T, nx, sub, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((nb, T, nu, sub, LANE), jnp.float32),
+    ]
+    if hessians:
+        out_specs += [tspec(nx, nx), tspec(nu, nu), tspec(nu, nx)]
+        out_shape += [
+            jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nu, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, sub, LANE), jnp.float32),
+        ]
     outs = pl.pallas_call(
         kernel2,
         grid=(nb, T),
         in_specs=[tspec(nx), tspec(nu), tspec()] + ctx_specs,
-        out_specs=[
-            tspec(nx, nx), tspec(nx, nu), tspec(nx), tspec(nu),
-            tspec(nx, nx), tspec(nu, nu), tspec(nu, nx),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, nu, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nx, nx, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, nu, sub, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, T, nu, nx, sub, LANE), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(xs_stage_l.astype(jnp.float32), us_l.astype(jnp.float32), t_l, *ctx_inputs)
     return tuple(outs)

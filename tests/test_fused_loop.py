@@ -83,6 +83,81 @@ class TestFusedLoop:
                 np.asarray(base.controls), np.asarray(other.controls)
             )
 
+    def test_quadratic_cost_hoisting_is_bit_exact(self):
+        """quadratic_cost on the fused path hoists the Hessian stacks out of
+        the iteration loop (the linearize kernel runs hessians=False); for a
+        genuinely quadratic cost this is a pure strength reduction, so the
+        results must be BIT-identical to the per-iteration path."""
+        specs = _specs(6)
+        base = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5)
+        )
+        quad = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              quadratic_cost=True)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.cost), np.asarray(quad.cost)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.controls), np.asarray(quad.controls)
+        )
+
+    def test_stationary_cost_is_bit_exact(self):
+        """stationary_cost additionally collapses the Hessian stacks to one
+        block per problem (the Riccati kernel reads it once per batch row,
+        hess_tconst).  The lane-follow weights are fixed, so this too must
+        be bit-identical."""
+        specs = _specs(6)
+        base = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5)
+        )
+        stat = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              quadratic_cost=True, stationary_cost=True)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.cost), np.asarray(stat.cost)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.controls), np.asarray(stat.controls)
+        )
+
+    def test_time_varying_quadratic_cost_keeps_per_stage_stacks(self):
+        """A quadratic cost with TIME-VARYING weights exercises the [T]-stack
+        hoisting branch (stationary_cost would be an invalid assertion
+        here, quadratic_cost alone is valid): hoisted Hessians must still
+        be per-stage and match the non-hoisted fused path exactly."""
+        from .problems import single_track_lane_ocp
+
+        w = lambda t: 1.0 + 0.05 * t
+
+        def stage_cost(x, u, t):
+            return (
+                10.0 * w(t) * x[1] ** 2
+                + (x[3] - 1.0) ** 2
+                + 0.1 * (u[0] ** 2 + u[1] ** 2)
+            )
+
+        spec = single_track_lane_ocp(stage_cost=stage_cost).spec()
+        B = 4
+        y = jnp.linspace(0.4, 2.0, B)
+        x0s = jnp.tile(spec.initial_state, (B, 1)).at[:, 1].set(y)
+        specs = jax.vmap(lambda x0: spec.replace(initial_state=x0))(x0s)
+        base = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5)
+        )
+        quad = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              quadratic_cost=True)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.cost), np.asarray(quad.cost)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.controls), np.asarray(quad.controls)
+        )
+
     def test_boxqp_mode_matches(self):
         specs = _specs(3)
         config = ILQRConfig(max_iterations=40, tolerance=1e-9,
