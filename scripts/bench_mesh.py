@@ -31,6 +31,18 @@ The timing methodology matches bench.py: chained distinct inputs (each
 rep's perturbation derives from the previous rep's output) plus an
 explicit host fetch, defeating the remote-tunnel result cache
 (docs/BENCHMARKS.md "Timing methodology").
+
+**Reading virtual-mesh numbers honestly:** on the CPU validation mesh the
+N "devices" share this host's physical cores, so aggregate throughput is
+structurally capped at ~cores x the single-device rate -- plain weak-scaling
+efficiency is bounded by cores/N no matter how good the partitioning is
+(e.g. 8 virtual devices on a 4-core host can never exceed 50%).  The
+artifact therefore also reports ``efficiency_vs_cores`` = rate /
+(rate_1 * min(N, physical_cores)), which isolates the partitioning +
+collective overhead this environment CAN measure from the compute the
+host simply does not have.  On a real TPU mesh every device is real
+hardware and the two metrics coincide (min(N, cores) clamps to N via
+``devices_are_virtual = False``).
 """
 
 from __future__ import annotations
@@ -89,6 +101,11 @@ def main(argv=None) -> int:
 
     devices = jax.devices()
     n_dev = len(devices)
+    # Virtual CPU mesh (xla_force_host_platform_device_count): the devices
+    # share this host's cores, which bounds honest weak scaling (see
+    # module docstring).
+    devices_are_virtual = jax.default_backend() == "cpu"
+    physical_cores = os.cpu_count() or 1
     counts = args.device_counts
     if not counts:
         counts, n = [], 1
@@ -173,15 +190,23 @@ def main(argv=None) -> int:
         if rate1 is None:
             rate1 = rate / n  # per-device baseline from the first count
         eff = rate / (rate1 * n)
+        # Compute-normalized efficiency: ideal aggregate on a virtual mesh
+        # is capped by the host's physical cores (the N "devices" are
+        # timeshares of the same silicon); on real device meshes the cap
+        # clamps to N and this equals plain efficiency.
+        cap = min(n, physical_cores) if devices_are_virtual else n
+        eff_cores = rate / (rate1 * cap)
         rows.append({
             "devices": n, "batch": batch, "solves_per_s": round(rate, 1),
             "per_device": round(rate / n, 1), "efficiency": round(eff, 4),
+            "efficiency_vs_cores": round(eff_cores, 4),
             # jitted: a global median over a cross-process-sharded array
             # must run as a collective program, not host-side indexing.
             "median_cost": round(float(jax.jit(jnp.median)(result.cost)), 5),
         })
         print(f"devices={n:>3} batch={batch:>8} {rate:>12,.0f} solves/s "
-              f"({rate / n:,.0f}/device, eff {eff:.1%})")
+              f"({rate / n:,.0f}/device, eff {eff:.1%}, "
+              f"vs-cores {eff_cores:.1%})")
 
     artifact = {
         "metric": "mesh_weak_scaling_single_track_ilqr",
@@ -191,9 +216,23 @@ def main(argv=None) -> int:
         "iters": args.iters,
         "reps": args.reps,
         "process_count": jax.process_count(),
+        "devices_are_virtual": devices_are_virtual,
+        "physical_cores": physical_cores,
         "rows": rows,
         "min_efficiency": min(r["efficiency"] for r in rows) if rows else None,
+        "min_efficiency_vs_cores": (
+            min(r["efficiency_vs_cores"] for r in rows) if rows else None
+        ),
         "target": 0.8,
+        "note": (
+            "virtual CPU mesh: N devices timeshare {} physical cores, so "
+            "plain weak-scaling efficiency is bounded by cores/N; "
+            "efficiency_vs_cores is the honest partitioning-overhead metric "
+            "here (the two coincide on real device meshes)".format(
+                physical_cores
+            )
+            if devices_are_virtual else None
+        ),
     }
     print(json.dumps(artifact))
     if args.json:
