@@ -148,6 +148,100 @@ def _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx):
     return best_k, best_K
 
 
+def _terminal_into_scratch(terminal_fn, xT, nx, vx_s, vxx_s):
+    """Write phix/phixx of ``terminal_fn`` at lane-valued ``xT`` into the
+    value-function scratch (forward-over-forward jvp, symmetrized)."""
+    lanes = jnp.zeros_like(xT[0])
+
+    def basis(j):
+        return jnp.stack(
+            [jnp.ones_like(lanes) if i == j else lanes for i in range(nx)],
+            axis=0,
+        )
+
+    def grad_j(xx, j):
+        _, g = jax.jvp(terminal_fn, (xx,), (basis(j),))
+        return jnp.asarray(g + lanes, jnp.float32)
+
+    for j in range(nx):
+        vx_s[j] = grad_j(xT, j)
+    for i in range(nx):
+        for j in range(i, nx):
+            _, h = jax.jvp(lambda a: grad_j(a, i), (xT,), (basis(j),))
+            h = jnp.asarray(h + lanes, jnp.float32)
+            vxx_s[i, j] = h
+            if i != j:
+                vxx_s[j, i] = h
+
+
+def _stage_core(A, Bm, lx, lu, lxx, luu, lux, v_x, v_xx,
+                nx, nu, sub, reg_levels, boxqp, lb, ub):
+    """One Riccati stage on lane-valued small matrices: Q-terms, the
+    regularization ladder, (box-)gains, and the value recursion
+    (ilqr.hpp:106-192).  ``A``/``lxx``-style args are indexable as
+    ``A[i, j]`` lane arrays; returns ``(k_t, K_t, new_vx, new_vxx)``."""
+    # Q-terms (ilqr.hpp:115-119), unrolled.
+    q_x = [lx[j] + sum(A[i, j] * v_x[i] for i in range(nx)) for j in range(nx)]
+    q_u = [lu[j] + sum(Bm[i, j] * v_x[i] for i in range(nx)) for j in range(nu)]
+    # vA[i][j] = (v_xx @ A)[i, j]
+    vA = [[sum(v_xx[i][kk] * A[kk, j] for kk in range(nx)) for j in range(nx)]
+          for i in range(nx)]
+    q_xx = [[lxx[i, j] + sum(A[kk, i] * vA[kk][j] for kk in range(nx))
+             for j in range(nx)] for i in range(nx)]
+    q_ux = [[lux[i, j] + sum(Bm[kk, i] * vA[kk][j] for kk in range(nx))
+             for j in range(nx)] for i in range(nu)]
+    vB = [[sum(v_xx[i][kk] * Bm[kk, j] for kk in range(nx)) for j in range(nu)]
+          for i in range(nx)]
+    q_uu = [[luu[i, j] + sum(Bm[kk, i] * vB[kk][j] for kk in range(nx))
+             for j in range(nu)] for i in range(nu)]
+
+    # Regularization ladder: smallest cumulative level whose shifted q_uu
+    # passes Sylvester's criterion (== reference's LLT retry loop).
+    def minors_ok(shift):
+        Qs = [[q_uu[i][j] + (shift if i == j else 0.0) for j in range(nu)]
+              for i in range(nu)]
+        ok = Qs[0][0] > 0.0
+        for kdim in range(2, nu + 1):
+            ok = jnp.logical_and(
+                ok, _det_rect(Qs, list(range(kdim)), list(range(kdim))) > 0.0
+            )
+        return ok
+
+    best = jnp.full((sub, LANE), reg_levels[-1], jnp.float32)
+    for level in reversed(reg_levels):
+        best = jnp.where(minors_ok(level), jnp.float32(level), best)
+
+    q_uu_reg = [[q_uu[i][j] + (best if i == j else 0.0) for j in range(nu)]
+                for i in range(nu)]
+
+    if boxqp:
+        # Exact box-constrained gains (control-limited DDP) on the lanes.
+        k_t, K_t = _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx)
+    else:
+        # Solve for gains: [k | K] = q_uu_reg^{-1} [q_u | q_ux].
+        rhs = [[q_u[i]] + [q_ux[i][j] for j in range(nx)] for i in range(nu)]
+        sol = _gauss_jordan_solve(q_uu_reg, rhs, nu, nx + 1)
+        k_t = [-sol[i][0] for i in range(nu)]
+        K_t = [[-sol[i][1 + j] for j in range(nx)] for i in range(nu)]
+
+    # Value recursion (ilqr.hpp:188-192).
+    q_uu_k = [sum(q_uu[i][j] * k_t[j] for j in range(nu)) for i in range(nu)]
+    new_vx = [
+        q_x[j]
+        + sum(K_t[u][j] * q_u[u] for u in range(nu))
+        + sum(q_ux[u][j] * k_t[u] for u in range(nu))
+        + sum(K_t[u][j] * q_uu_k[u] for u in range(nu))
+        for j in range(nx)
+    ]
+    KQ = [[sum(K_t[u][i] * q_ux[u][j] for u in range(nu)) for j in range(nx)]
+          for i in range(nx)]
+    KqK = [[sum(K_t[u][i] * sum(q_uu[u][v] * K_t[v][j] for v in range(nu))
+                for u in range(nu)) for j in range(nx)] for i in range(nx)]
+    new_vxx = [[q_xx[i][j] + KQ[i][j] + KQ[j][i] + KqK[i][j] for j in range(nx)]
+               for i in range(nx)]
+    return k_t, K_t, new_vx, new_vxx
+
+
 def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
                  boxqp: bool = False, terminal_fn=None, sub: int = SUB):
     def kernel(*refs):
@@ -167,30 +261,7 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
             else:
                 # In-kernel terminal derivatives (fused-loop mode):
                 # vx0_ref carries x_T lanes, vxx0_ref is an unused dummy.
-                xT = vx0_ref[0]
-                lanes = jnp.zeros_like(xT[0])
-
-                def basis(j):
-                    return jnp.stack(
-                        [jnp.ones_like(lanes) if i == j else lanes
-                         for i in range(nx)], axis=0
-                    )
-
-                def grad_j(xx, j):
-                    _, g = jax.jvp(terminal_fn, (xx,), (basis(j),))
-                    return jnp.asarray(g + lanes, jnp.float32)
-
-                for j in range(nx):
-                    vx_s[j] = grad_j(xT, j)
-                for i in range(nx):
-                    for j in range(i, nx):
-                        _, h = jax.jvp(
-                            lambda a: grad_j(a, i), (xT,), (basis(j),)
-                        )
-                        h = jnp.asarray(h + lanes, jnp.float32)
-                        vxx_s[i, j] = h
-                        if i != j:
-                            vxx_s[j, i] = h
+                _terminal_into_scratch(terminal_fn, vx0_ref[0], nx, vx_s, vxx_s)
 
         A = A_ref[0, 0]      # [nx, nx, 8, 128]
         Bm = B_ref[0, 0]     # [nx, nu, 8, 128]
@@ -202,65 +273,12 @@ def _make_kernel(T: int, nx: int, nu: int, reg_levels: Sequence[float],
         v_x = [vx_s[i] for i in range(nx)]
         v_xx = [[vxx_s[i, j] for j in range(nx)] for i in range(nx)]
 
-        # Q-terms (ilqr.hpp:115-119), unrolled.
-        q_x = [lx[j] + sum(A[i, j] * v_x[i] for i in range(nx)) for j in range(nx)]
-        q_u = [lu[j] + sum(Bm[i, j] * v_x[i] for i in range(nx)) for j in range(nu)]
-        # vA[i][j] = (v_xx @ A)[i, j]
-        vA = [[sum(v_xx[i][kk] * A[kk, j] for kk in range(nx)) for j in range(nx)]
-              for i in range(nx)]
-        q_xx = [[lxx[i, j] + sum(A[kk, i] * vA[kk][j] for kk in range(nx))
-                 for j in range(nx)] for i in range(nx)]
-        q_ux = [[lux[i, j] + sum(Bm[kk, i] * vA[kk][j] for kk in range(nx))
-                 for j in range(nx)] for i in range(nu)]
-        vB = [[sum(v_xx[i][kk] * Bm[kk, j] for kk in range(nx)) for j in range(nu)]
-              for i in range(nx)]
-        q_uu = [[luu[i, j] + sum(Bm[kk, i] * vB[kk][j] for kk in range(nx))
-                 for j in range(nu)] for i in range(nu)]
-
-        # Regularization ladder: smallest cumulative level whose shifted q_uu
-        # passes Sylvester's criterion (== reference's LLT retry loop).
-        def minors_ok(shift):
-            Qs = [[q_uu[i][j] + (shift if i == j else 0.0) for j in range(nu)]
-                  for i in range(nu)]
-            ok = Qs[0][0] > 0.0
-            for kdim in range(2, nu + 1):
-                ok = jnp.logical_and(ok, _det_rect(Qs, list(range(kdim)), list(range(kdim))) > 0.0)
-            return ok
-
-        best = jnp.full((sub, LANE), reg_levels[-1], jnp.float32)
-        for level in reversed(reg_levels):
-            best = jnp.where(minors_ok(level), jnp.float32(level), best)
-
-        q_uu_reg = [[q_uu[i][j] + (best if i == j else 0.0) for j in range(nu)]
-                    for i in range(nu)]
-
-        if boxqp:
-            # Exact box-constrained gains (control-limited DDP) on the lanes.
-            lb = [lb_ref[0, 0, i] for i in range(nu)]
-            ub = [ub_ref[0, 0, i] for i in range(nu)]
-            k_t, K_t = _boxqp_lane_gains(q_uu_reg, q_u, q_ux, lb, ub, nu, nx)
-        else:
-            # Solve for gains: [k | K] = q_uu_reg^{-1} [q_u | q_ux].
-            rhs = [[q_u[i]] + [q_ux[i][j] for j in range(nx)] for i in range(nu)]
-            sol = _gauss_jordan_solve(q_uu_reg, rhs, nu, nx + 1)
-            k_t = [-sol[i][0] for i in range(nu)]
-            K_t = [[-sol[i][1 + j] for j in range(nx)] for i in range(nu)]
-
-        # Value recursion (ilqr.hpp:188-192).
-        q_uu_k = [sum(q_uu[i][j] * k_t[j] for j in range(nu)) for i in range(nu)]
-        new_vx = [
-            q_x[j]
-            + sum(K_t[u][j] * q_u[u] for u in range(nu))
-            + sum(q_ux[u][j] * k_t[u] for u in range(nu))
-            + sum(K_t[u][j] * q_uu_k[u] for u in range(nu))
-            for j in range(nx)
-        ]
-        KQ = [[sum(K_t[u][i] * q_ux[u][j] for u in range(nu)) for j in range(nx)]
-              for i in range(nx)]
-        KqK = [[sum(K_t[u][i] * sum(q_uu[u][v] * K_t[v][j] for v in range(nu))
-                    for u in range(nu)) for j in range(nx)] for i in range(nx)]
-        new_vxx = [[q_xx[i][j] + KQ[i][j] + KQ[j][i] + KqK[i][j] for j in range(nx)]
-                   for i in range(nx)]
+        lb = [lb_ref[0, 0, i] for i in range(nu)] if boxqp else None
+        ub = [ub_ref[0, 0, i] for i in range(nu)] if boxqp else None
+        k_t, K_t, new_vx, new_vxx = _stage_core(
+            A, Bm, lx, lu, lxx, luu, lux, v_x, v_xx,
+            nx, nu, sub, reg_levels, boxqp, lb, ub,
+        )
 
         # Write outputs and carry (symmetrized, ilqr.hpp:192).
         for i in range(nu):
@@ -360,6 +378,202 @@ def riccati_backward_pallas_tiled(
             hspec(nx, nx), hspec(nu, nu), hspec(nu, nx),
             *bound_specs,
             spec0(nx), spec0(nx, nx),
+        ],
+        out_specs=[spec(nu), spec(nu, nx)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, T, nu, sub, LANE), dtype),
+            jax.ShapeDtypeStruct((nb, T, nu, nx, sub, LANE), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, sub, LANE), dtype),
+            pltpu.VMEM((nx, nx, sub, LANE), dtype),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+
+class _M2:
+    """2-D ``[i, j]`` indexable view over a list of lists of lane arrays
+    (duck-types the ``A[i, j]`` access pattern of a block-ref slice)."""
+
+    def __init__(self, rows):
+        self._rows = rows
+
+    def __getitem__(self, ij):
+        return self._rows[ij[0]][ij[1]]
+
+
+def _make_fusedlin_kernel(T, nx, nu, reg_levels, dt, dynamics, stage_cost,
+                          discrete, terminal_fn, sub, boxqp):
+    """Riccati stage kernel that LINEARIZES IN-KERNEL (stationary-cost path).
+
+    Instead of consuming precomputed ``A/B/lx/lu`` stacks, each grid step
+    reads only ``(x_t, u_t)`` (6 lane tiles at nx=4, nu=2 instead of 30) and
+    derives the dynamics Jacobians and cost gradients by the same in-kernel
+    forward-mode jvps the standalone linearize kernel uses.  The jvp chains
+    are independent of the value-recursion carry, so they fill issue slots
+    the sequential dependency chain leaves idle -- and the separate
+    linearize launch (plus its HBM round trip for A/B/lx/lu) disappears.
+    Cost Hessians arrive as time-constant blocks (stationary quadratic
+    cost), fetched once per batch row.
+    """
+
+    def step_map(x, u):
+        if not discrete:
+            return dynamics(x, u)
+        k1 = dynamics(x, u)
+        k2 = dynamics(x + (0.5 * dt) * k1, u)
+        k3 = dynamics(x + (0.5 * dt) * k2, u)
+        k4 = dynamics(x + dt * k3, u)
+        return x + (dt / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+    def kernel(*refs):
+        if boxqp:
+            (x_ref, u_ref, lxx_ref, luu_ref, lux_ref, lb_ref, ub_ref,
+             xT_ref, k_ref, K_ref, vx_s, vxx_s) = refs
+        else:
+            (x_ref, u_ref, lxx_ref, luu_ref, lux_ref,
+             xT_ref, k_ref, K_ref, vx_s, vxx_s) = refs
+        t_idx = pl.program_id(1)
+
+        @pl.when(t_idx == 0)
+        def _():
+            _terminal_into_scratch(terminal_fn, xT_ref[0], nx, vx_s, vxx_s)
+
+        x = x_ref[0, 0]      # [nx, sub, 128]
+        u = u_ref[0, 0]      # [nu, sub, 128]
+        lanes = jnp.zeros_like(x[0])
+        # The grid runs t reversed; the real time index for the stage cost.
+        t_lane = lanes + jnp.asarray(T - 1 - t_idx, jnp.float32)
+
+        def basis(n, j, like):
+            zeros = jnp.zeros_like(like[0])
+            ones = jnp.ones_like(like[0])
+            return jnp.stack(
+                [ones if i == j else zeros for i in range(n)], axis=0
+            )
+
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        A = [[None] * nx for _ in range(nx)]
+        for j in range(nx):
+            _, col = jax.jvp(lambda xx: step_map(xx, u), (x,), (basis(nx, j, x),))
+            for i in range(nx):
+                A[i][j] = f32(col[i])
+        Bm = [[None] * nu for _ in range(nx)]
+        for j in range(nu):
+            _, col = jax.jvp(lambda uu: step_map(x, uu), (u,), (basis(nu, j, u),))
+            for i in range(nx):
+                Bm[i][j] = f32(col[i])
+        lx = []
+        for j in range(nx):
+            _, g = jax.jvp(
+                lambda a: stage_cost(a, u, t_lane), (x,), (basis(nx, j, x),)
+            )
+            lx.append(f32(g + lanes))
+        lu = []
+        for j in range(nu):
+            _, g = jax.jvp(
+                lambda a: stage_cost(x, a, t_lane), (u,), (basis(nu, j, u),)
+            )
+            lu.append(f32(g + lanes))
+
+        v_x = [vx_s[i] for i in range(nx)]
+        v_xx = [[vxx_s[i, j] for j in range(nx)] for i in range(nx)]
+        lb = [lb_ref[0, 0, i] for i in range(nu)] if boxqp else None
+        ub = [ub_ref[0, 0, i] for i in range(nu)] if boxqp else None
+        k_t, K_t, new_vx, new_vxx = _stage_core(
+            _M2(A), _M2(Bm), lx, lu,
+            lxx_ref[0, 0], luu_ref[0, 0], lux_ref[0, 0],
+            v_x, v_xx, nx, nu, sub, reg_levels, boxqp, lb, ub,
+        )
+
+        for i in range(nu):
+            k_ref[0, 0, i] = k_t[i]
+            for j in range(nx):
+                K_ref[0, 0, i, j] = K_t[i][j]
+        for j in range(nx):
+            vx_s[j] = new_vx[j]
+        for i in range(nx):
+            for j in range(nx):
+                vxx_s[i, j] = 0.5 * (new_vxx[i][j] + new_vxx[j][i])
+
+    return kernel
+
+
+def riccati_fusedlin_pallas_tiled(
+    xs_stage_l: Array,   # [nb, T, nx, sub, 128] stage states x_0..x_{T-1}
+    us_l: Array,         # [nb, T, nu, sub, 128]
+    lxx_l: Array,        # [nb, 1, nx, nx, sub, 128] time-constant Hessians
+    luu_l: Array,        # [nb, 1, nu, nu, sub, 128]
+    lux_l: Array,        # [nb, 1, nu, nx, sub, 128]
+    xT_l: Array,         # [nb, nx, sub, 128] terminal states
+    *,
+    dynamics,
+    stage_cost,
+    terminal_fn,
+    dt: float,
+    discrete: bool,
+    reg_init: float = 1e-6,
+    reg_factor: float = 10.0,
+    reg_levels: int = 16,
+    interpret: bool = False,
+    lb_l: Array = None,   # [nb, T, nu, sub, 128] delta bounds -> in-kernel box QP
+    ub_l: Array = None,
+):
+    """Backward pass with in-kernel linearization (stationary-cost fused path).
+
+    Returns ``k [nb, T, nu, sub, 128]``, ``K [nb, T, nu, nx, sub, 128]``
+    identical to ``linearize + riccati_backward_pallas_tiled(hess_tconst)``
+    -- same jvp arithmetic, same stage recursion -- but reads (x, u) instead
+    of precomputed (A, B, lx, lu) stacks and needs no separate linearize
+    launch.  See :func:`_make_fusedlin_kernel`.
+    """
+    nb, T, nx = xs_stage_l.shape[:3]
+    nu = us_l.shape[2]
+    sub = xs_stage_l.shape[-2]
+    dtype = jnp.float32
+    boxqp = lb_l is not None
+
+    levels = tuple(
+        float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
+        for j in range(reg_levels)
+    )
+    kernel = _make_fusedlin_kernel(
+        T, nx, nu, levels, dt, dynamics, stage_cost, discrete,
+        terminal_fn, sub, boxqp,
+    )
+
+    rev = lambda b, t: (b, T - 1 - t)
+    spec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (sub, LANE),
+        lambda b, t: rev(b, t) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    hspec = lambda *inner: pl.BlockSpec(
+        (1, 1) + inner + (sub, LANE),
+        lambda b, t: (b, 0) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    spec0 = lambda *inner: pl.BlockSpec(
+        (1,) + inner + (sub, LANE),
+        lambda b, t: (b,) + (0,) * len(inner) + (0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    bound_inputs = (lb_l.astype(dtype), ub_l.astype(dtype)) if boxqp else ()
+    bound_specs = [spec(nu), spec(nu)] if boxqp else []
+
+    inputs = (
+        xs_stage_l.astype(dtype), us_l.astype(dtype),
+        lxx_l.astype(dtype), luu_l.astype(dtype), lux_l.astype(dtype),
+    ) + bound_inputs + (xT_l.astype(dtype),)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, T),
+        in_specs=[
+            spec(nx), spec(nu),
+            hspec(nx, nx), hspec(nu, nu), hspec(nu, nx),
+            *bound_specs,
+            spec0(nx),
         ],
         out_specs=[spec(nu), spec(nu, nx)],
         out_shape=[

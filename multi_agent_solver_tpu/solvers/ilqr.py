@@ -141,6 +141,13 @@ class ILQRConfig:
     # grid step were constant stacks).  Exact when the assertion holds; like
     # quadratic_cost it is not checked.  Ignored without quadratic_cost.
     stationary_cost: bool = False
+    # Stationary-path implementation switch (A/B benchmarking knob): True
+    # linearizes INSIDE the Riccati kernel (riccati_fusedlin_pallas_tiled
+    # -- reads x, u instead of A/B/lx/lu stacks, no separate linearize
+    # launch); False keeps the separate hessians=False linearize kernel +
+    # time-constant Hessian blocks (hess_tconst).  Identical results
+    # (tests/test_fused_loop.py); only device time differs.
+    stationary_fusedlin: bool = True
     # Lane-resident fused-loop routing for batched solves (param ``fused``):
     # 'auto' (default) fuses eligible unconstrained/uncoupled problems only;
     # 'on' also fuses coupled (context) and AL-constrained solves; 'off'
@@ -810,7 +817,10 @@ def _solve_ilqr_batched_fused(
         LANE, SUB, TILE, _to_lanes, forward_select_pallas_tiled,
     )
     from ..ops.linearize_pallas import linearize_pallas_tiled
-    from ..ops.riccati_pallas import riccati_backward_pallas_tiled
+    from ..ops.riccati_pallas import (
+        riccati_backward_pallas_tiled,
+        riccati_fusedlin_pallas_tiled,
+    )
 
     B = specs.initial_state.shape[0]
     T, nx, nu = specs.horizon_steps, specs.state_dim, specs.control_dim
@@ -943,7 +953,13 @@ def _solve_ilqr_batched_fused(
         # sequential phase-2 grid steps, whereas the standalone launch
         # pipelines freely across all (b, t) blocks.
         xs_stage_l = jnp.concatenate([x0_l[:, None], xs_tail_l[:, :-1]], axis=1)
-        if quad:
+        if stationary and config.stationary_fusedlin:
+            lin = None     # in-kernel linearization (riccati_fusedlin below)
+        elif stationary:
+            lin = linearize_pallas_tiled(
+                spec0, xs_stage_l, us_l, discrete, interpret, hessians=False,
+            )
+        elif quad:
             lin = linearize_pallas_tiled(
                 spec0, xs_stage_l, us_l, discrete, interpret, ctx_l=ctx_l,
                 hessians=False,
@@ -986,13 +1002,34 @@ def _solve_ilqr_batched_fused(
         else:
             blb = bub = None
         # Terminal phix/phixx derived in-kernel from x_T (vxx slot unused).
-        k_l, K_l = riccati_backward_pallas_tiled(
-            *lin, xs_tail_l[:, -1], vxx_dummy,
-            reg_init=config.reg_init, reg_factor=config.reg_factor,
-            reg_levels=config.reg_levels, interpret=interpret,
-            lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
-            hess_tconst=stationary,
-        )
+        if stationary and config.stationary_fusedlin:
+            # Stationary quadratic cost: linearize INSIDE the Riccati kernel
+            # (reads x, u -- 6 lane tiles per stage instead of 30 -- and no
+            # separate linearize launch; see riccati_fusedlin_pallas_tiled).
+            k_l, K_l = riccati_fusedlin_pallas_tiled(
+                xs_stage_l, us_l, *hess_l, xs_tail_l[:, -1],
+                dynamics=spec0.dynamics, stage_cost=spec0.stage_cost,
+                terminal_fn=spec0.terminal_cost, dt=spec0.dt,
+                discrete=discrete,
+                reg_init=config.reg_init, reg_factor=config.reg_factor,
+                reg_levels=config.reg_levels, interpret=interpret,
+                lb_l=blb, ub_l=bub,
+            )
+        elif stationary:
+            k_l, K_l = riccati_backward_pallas_tiled(
+                *(lin + hess_l), xs_tail_l[:, -1], vxx_dummy,
+                reg_init=config.reg_init, reg_factor=config.reg_factor,
+                reg_levels=config.reg_levels, interpret=interpret,
+                lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
+                hess_tconst=True,
+            )
+        else:
+            k_l, K_l = riccati_backward_pallas_tiled(
+                *lin, xs_tail_l[:, -1], vxx_dummy,
+                reg_init=config.reg_init, reg_factor=config.reg_factor,
+                reg_levels=config.reg_levels, interpret=interpret,
+                lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
+            )
 
         def run_select(ladder):
             return forward_select_pallas_tiled(

@@ -122,6 +122,16 @@ class TestFusedLoop:
         np.testing.assert_array_equal(
             np.asarray(base.controls), np.asarray(stat.controls)
         )
+        # The separate-kernel stationary implementation (hess_tconst blocks
+        # instead of in-kernel linearization) must agree too.
+        tconst = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              quadratic_cost=True, stationary_cost=True,
+                              stationary_fusedlin=False)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.cost), np.asarray(tconst.cost)
+        )
 
     def test_time_varying_quadratic_cost_keeps_per_stage_stacks(self):
         """A quadratic cost with TIME-VARYING weights exercises the [T]-stack
@@ -156,6 +166,32 @@ class TestFusedLoop:
         )
         np.testing.assert_array_equal(
             np.asarray(base.controls), np.asarray(quad.controls)
+        )
+
+    def test_boxqp_stationary_matches(self):
+        """The in-kernel-linearize Riccati (stationary path) also carries the
+        box-QP stage solves.  Unlike the unconstrained branch (bit-exact
+        above), the box-QP active-set selection takes EXACT KKT comparisons
+        (ops/riccati_pallas._boxqp_lane_gains), so a last-ulp fusion
+        difference between the two compiled kernels can flip a boundary-tied
+        configuration -- observed as ~1e-6 gain differences from one stage
+        onward.  Equality is therefore asserted to tight tolerances, not
+        bitwise."""
+        specs = _specs(4)
+        base = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              bound_mode="boxqp")
+        )
+        stat = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=6, tolerance=1e-5,
+                              bound_mode="boxqp", quadratic_cost=True,
+                              stationary_cost=True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.cost), np.asarray(stat.cost), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(base.controls), np.asarray(stat.controls), atol=1e-4
         )
 
     def test_boxqp_mode_matches(self):
