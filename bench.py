@@ -56,6 +56,15 @@ efficiency diagnostics (VERDICT r1 item 9):
   example likewise supplies analytic constant cost derivatives,
   single_track_ocp.cpp:41-66).  Measured 685k -> 804k solves/s here.
 
+* ``early_exit=False`` (round 4): the outer loop runs a fixed 10-trip
+  fori_loop instead of a while_loop whose all-lanes-converged predicate
+  must round-trip through the host execution stream every iteration
+  (~20 ms each through this environment's TPU tunnel -- the xplane trace
+  showed per-iteration pred/scalar copy pairs eating more wall time than
+  the kernels).  With 262,144 lanes the chance every lane converges before
+  iteration 10 is nil, so the executed work and the results are IDENTICAL
+  (bit-asserted in tests/test_fused_loop.py).
+
 Baseline: the C++ reference solves this problem (nx=4, nu=2, T=80, dt=0.1,
 10 iLQR iterations) in ~1.06887 ms single-threaded (reference
 README.md:167), i.e. ~935.6 solves/s.
@@ -111,7 +120,8 @@ def _build(spec_dtype, batch):
     spec = _single_track_spec(dtype=spec_dtype)
     config = ILQRConfig(max_iterations=10, tolerance=1e-5,
                         alpha_ladder=(1.0, 0.5, 0.125),
-                        quadratic_cost=True, stationary_cost=True)
+                        quadratic_cost=True, stationary_cost=True,
+                        early_exit=False)
 
     rng = np.random.RandomState(0)
     x0 = np.zeros((batch, 4), np.float32)

@@ -141,6 +141,20 @@ class ILQRConfig:
     # grid step were constant stacks).  Exact when the assertion holds; like
     # quadratic_cost it is not checked.  Ignored without quadratic_cost.
     stationary_cost: bool = False
+    # Whole-batch early exit (the reference's convergence break,
+    # ilqr.hpp:269-271, lifted to the batch: stop when EVERY lane's
+    # convergence flag is set).  True = lax.while_loop with a data-dependent
+    # predicate; False = fixed-trip fori_loop to max_iterations with the
+    # same per-lane freeze masks -- identical results whenever any lane is
+    # still active at the last iteration (converged lanes never change
+    # state), and the only difference otherwise is wasted no-op iterations.
+    # Why opt out: a data-dependent while predicate must round-trip the
+    # reduced flag through the host-side execution stream; through this
+    # environment's remote-TPU tunnel that costs ~20 ms PER ITERATION
+    # (xplane: per-iteration pred/scalar copy-start pairs dominating wall
+    # time), which fixed trip counts eliminate entirely.  Large-batch
+    # benchmarks (P[all 262k lanes converge early] ~ 0) lose nothing.
+    early_exit: bool = True
     # Stationary-path implementation switch (A/B benchmarking knob): True
     # linearizes INSIDE the Riccati kernel (riccati_fusedlin_pallas_tiled
     # -- reads x, u instead of A/B/lx/lu stacks, no separate linearize
@@ -190,6 +204,7 @@ class ILQRConfig:
             ddp=param_flag(params, "ddp"),
             quadratic_cost=param_flag(params, "quadratic_cost"),
             stationary_cost=param_flag(params, "stationary_cost"),
+            early_exit=bool(get_param(params, "early_exit", 1.0)),
             fused=(
                 "auto" if "fused" not in params
                 else ("on" if param_flag(params, "fused") else "off")
@@ -1106,9 +1121,16 @@ def _solve_ilqr_batched_fused(
 
     init = (xs_tail_l0, us_l0, obj_l0, eq_mult_l0, ineq_mult_l0, rho_l0,
             zeros_lane, zeros_lane, jnp.asarray(0, jnp.int32), converged_l0)
-    (xs_tail_l, us_l, cost_l, _, _, _, eqv_l, inv_l, it, converged_l) = (
-        jax.lax.while_loop(cond, body, init)
-    )
+    if config.early_exit:
+        final = jax.lax.while_loop(cond, body, init)
+    else:
+        # Fixed trip count: no data-dependent predicate, hence no per-
+        # iteration host round trip (see ILQRConfig.early_exit).  Converged
+        # lanes are frozen by the same masks the while body uses.
+        final = jax.lax.fori_loop(
+            0, config.max_iterations, lambda _, s: body(s), init
+        )
+    (xs_tail_l, us_l, cost_l, _, _, _, eqv_l, inv_l, it, converged_l) = final
 
     from ..ops.forward_select_pallas import _from_lanes
     unpack = lambda arr: _from_lanes(arr, B)

@@ -133,6 +133,35 @@ class TestFusedLoop:
             np.asarray(base.cost), np.asarray(tconst.cost)
         )
 
+    def test_fixed_trip_loop_matches_while_loop(self):
+        """early_exit=False swaps the data-dependent while_loop for a fixed
+        fori_loop to max_iterations; per-lane freeze masks are identical, so
+        trajectories and costs must be bit-identical (only the reported
+        iteration counter may differ: extra all-frozen no-op iterations)."""
+        specs = _specs(6)
+        base = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=8, tolerance=1e-5)
+        )
+        fixed = solve_ilqr_batched(
+            specs, ILQRConfig(max_iterations=8, tolerance=1e-5,
+                              early_exit=False)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.cost), np.asarray(fixed.cost)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.controls), np.asarray(fixed.controls)
+        )
+        # Tight tolerance forces early convergence of every lane: the fixed
+        # loop's trailing no-op iterations must not perturb anything.
+        cfg_tight = lambda ee: ILQRConfig(max_iterations=30, tolerance=1e2,
+                                          early_exit=ee)
+        b2 = solve_ilqr_batched(specs, cfg_tight(True))
+        f2 = solve_ilqr_batched(specs, cfg_tight(False))
+        np.testing.assert_array_equal(
+            np.asarray(b2.controls), np.asarray(f2.controls)
+        )
+
     def test_time_varying_quadratic_cost_keeps_per_stage_stacks(self):
         """A quadratic cost with TIME-VARYING weights exercises the [T]-stack
         hoisting branch (stationary_cost would be an invalid assertion
