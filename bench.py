@@ -56,14 +56,16 @@ efficiency diagnostics (VERDICT r1 item 9):
   example likewise supplies analytic constant cost derivatives,
   single_track_ocp.cpp:41-66).  Measured 685k -> 804k solves/s here.
 
-* ``early_exit=False`` (round 4): the outer loop runs a fixed 10-trip
-  fori_loop instead of a while_loop whose all-lanes-converged predicate
-  must round-trip through the host execution stream every iteration
-  (~20 ms each through this environment's TPU tunnel -- the xplane trace
-  showed per-iteration pred/scalar copy pairs eating more wall time than
-  the kernels).  With 262,144 lanes the chance every lane converges before
-  iteration 10 is nil, so the executed work and the results are IDENTICAL
-  (bit-asserted in tests/test_fused_loop.py).
+* The stationary path linearizes INSIDE the Riccati kernel
+  (``riccati_fusedlin_pallas_tiled``): each backward grid step reads only
+  (x_t, u_t) -- 6 lane tiles instead of the 30-tile A/B/lx/lu stacks --
+  and the separate linearize launch disappears.  Measured A/B at this
+  batch: in-kernel 876k vs separate-kernel 810k solves/s, identical costs.
+
+  (A fixed-trip loop variant ``early_exit=0`` was also measured on the
+  theory that the while predicate forces per-iteration host round trips
+  through the tunnel: no effect, 860k vs 876k -- the while_loop is fine on
+  this platform, so the default data-dependent early exit stays.)
 
 Baseline: the C++ reference solves this problem (nx=4, nu=2, T=80, dt=0.1,
 10 iLQR iterations) in ~1.06887 ms single-threaded (reference
@@ -120,8 +122,7 @@ def _build(spec_dtype, batch):
     spec = _single_track_spec(dtype=spec_dtype)
     config = ILQRConfig(max_iterations=10, tolerance=1e-5,
                         alpha_ladder=(1.0, 0.5, 0.125),
-                        quadratic_cost=True, stationary_cost=True,
-                        early_exit=False)
+                        quadratic_cost=True, stationary_cost=True)
 
     rng = np.random.RandomState(0)
     x0 = np.zeros((batch, 4), np.float32)
