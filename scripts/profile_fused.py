@@ -1,10 +1,18 @@
 """Per-kernel timing of the lane-resident fused iLQR loop on the TPU.
 
-Times the three kernel launches of one fused iteration in isolation
-(linearize / Riccati-with-terminal / forward-select) plus the full
-10-iteration solve, with chained distinct inputs (the tunnel caches
+Times the kernel launches of one fused iteration in isolation plus the
+full 10-iteration solve, with chained distinct inputs (the tunnel caches
 repeated identical calls).  This is the tool that decides which kernel to
 optimize next; env B sets the batch (default 32768).
+
+Two configurations (env STATIONARY):
+
+* ``STATIONARY=0`` -- the round-2/3 path: separate linearize /
+  Riccati-with-terminal / forward-select launches per iteration.
+* ``STATIONARY=1`` (default; the production bench.py config since round 4)
+  -- the stationary-fusedlin path: ONE riccati_fusedlin launch
+  (linearizes in-kernel, reads (x, u) + time-constant Hessian blocks)
+  plus the forward-select launch.
 """
 
 import os
@@ -105,25 +113,50 @@ def timeit(name, fn, *args, perturb_idx=0):
     return out, ms
 
 
-lin, t_lin = timeit(
-    "linearize_pallas_tiled",
-    lambda xs, us: linearize_pallas_tiled(spec, xs, us, True, False),
-    xs_stage_l, us_l,
-)
+STATIONARY = os.environ.get("STATIONARY", "1") == "1"
 
-
-def _riccati(xs, *lin_args):
-    return riccati_backward_pallas_tiled(
-        *lin_args, xs[:, -1], vxx_dummy,
-        reg_init=config.reg_init, reg_factor=config.reg_factor,
-        reg_levels=config.reg_levels, interpret=False,
-        terminal_fn=spec.terminal_cost,
+if STATIONARY:
+    from multi_agent_solver_tpu.ops.riccati_pallas import (
+        riccati_fusedlin_pallas_tiled,
     )
 
+    # Time-constant Hessian blocks, hoisted once like the fused loop does.
+    hess_l = jax.jit(
+        lambda x, u: linearize_pallas_tiled(spec, x, u, True, False)[4:]
+    )(x0_l[:, None], us_l[:, :1])
 
-(k_l, K_l), t_ric = timeit(
-    "riccati_backward_pallas_tiled", _riccati, xs_tail_l, *lin
-)
+    def _fusedlin(xs_stage, us, xs_tail, *hess):
+        return riccati_fusedlin_pallas_tiled(
+            xs_stage, us, *hess, xs_tail[:, -1],
+            dynamics=spec.dynamics, stage_cost=spec.stage_cost,
+            terminal_fn=spec.terminal_cost, dt=spec.dt, discrete=True,
+            reg_init=config.reg_init, reg_factor=config.reg_factor,
+            reg_levels=config.reg_levels, interpret=False,
+        )
+
+    (k_l, K_l), t_ric = timeit(
+        "riccati_fusedlin_pallas_tiled", _fusedlin,
+        xs_stage_l, us_l, xs_tail_l, *hess_l,
+    )
+    t_lin = 0.0
+else:
+    lin, t_lin = timeit(
+        "linearize_pallas_tiled",
+        lambda xs, us: linearize_pallas_tiled(spec, xs, us, True, False),
+        xs_stage_l, us_l,
+    )
+
+    def _riccati(xs, *lin_args):
+        return riccati_backward_pallas_tiled(
+            *lin_args, xs[:, -1], vxx_dummy,
+            reg_init=config.reg_init, reg_factor=config.reg_factor,
+            reg_levels=config.reg_levels, interpret=False,
+            terminal_fn=spec.terminal_cost,
+        )
+
+    (k_l, K_l), t_ric = timeit(
+        "riccati_backward_pallas_tiled", _riccati, xs_tail_l, *lin
+    )
 
 
 def _select(xs_stage, us, k, K, merit):

@@ -20,7 +20,10 @@ from multi_agent_solver_tpu.solvers.ilqr import (
     solve_ilqr_batched,
 )
 
-CONFIG = ILQRConfig(max_iterations=12, tolerance=1e-9)
+# Explicit False pins the un-hoisted baseline path: since round 5 the
+# DEFAULT (None) auto-detects this quadratic cost and would hoist too,
+# making the comparison trivial.
+CONFIG = ILQRConfig(max_iterations=12, tolerance=1e-9, quadratic_cost=False)
 
 
 def _spec(bounded=False, constrained=False):
@@ -93,3 +96,116 @@ class TestQuadraticCostHoisting:
         solver.set_params({"max_iterations": 5, "tolerance": 1e-6,
                            "max_ms": 1e9, "quadratic_cost": 1})
         assert solver.config.quadratic_cost is True
+
+    def test_param_key_absent_is_auto(self):
+        from multi_agent_solver_tpu import make_solver
+
+        solver = make_solver("ilqr")
+        solver.set_params({"max_iterations": 5, "tolerance": 1e-6,
+                           "max_ms": 1e9})
+        assert solver.config.quadratic_cost is None
+        assert solver.config.stationary_cost is None
+
+
+class TestCostStructureProbe:
+    """Trace-time Hessian probe (round 5, VERDICT r4 item 3)."""
+
+    def test_detects_quadratic_stationary(self):
+        from multi_agent_solver_tpu.solvers.ilqr import probe_cost_structure
+
+        assert probe_cost_structure(_spec()) == (True, True)
+
+    def test_detects_time_varying_quadratic(self):
+        from multi_agent_solver_tpu.solvers.ilqr import probe_cost_structure
+
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=40, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5]),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: (1.0 + 0.1 * t) * x[1] ** 2
+            + 0.1 * (u[0] ** 2 + u[1] ** 2),
+            terminal_cost=lambda x: 2.0 * x[1] ** 2,
+        )
+        ocp.initialize_problem()
+        assert probe_cost_structure(ocp.spec()) == (True, False)
+
+    def test_detects_non_quadratic(self):
+        from multi_agent_solver_tpu.solvers.ilqr import probe_cost_structure
+
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=40, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5]),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: jnp.cos(x[1]) + 0.1 * u[0] ** 4
+            + 0.1 * u[1] ** 2,
+            terminal_cost=lambda x: 2.0 * x[1] ** 2,
+        )
+        ocp.initialize_problem()
+        assert probe_cost_structure(ocp.spec()) == (False, False)
+
+    def test_wrong_assertion_raises(self):
+        """A non-quadratic cost with quadratic_cost=1 set must raise, not
+        silently return a fixed-metric Gauss-Newton answer."""
+        import pytest
+
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=20, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5]),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: jnp.cos(x[1])
+            + 0.1 * (u[0] ** 2 + u[1] ** 2),
+            terminal_cost=lambda x: 2.0 * x[1] ** 2,
+        )
+        ocp.initialize_problem()
+        cfg = dataclasses.replace(CONFIG, quadratic_cost=True)
+        with pytest.raises(ValueError, match="not quadratic"):
+            solve_ilqr(ocp.spec(), cfg)
+
+    def test_wrong_stationary_assertion_raises(self):
+        import pytest
+
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=20, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5]),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: (1.0 + 0.1 * t) * x[1] ** 2
+            + 0.1 * (u[0] ** 2 + u[1] ** 2),
+            terminal_cost=lambda x: 2.0 * x[1] ** 2,
+        )
+        ocp.initialize_problem()
+        cfg = dataclasses.replace(
+            CONFIG, quadratic_cost=True, stationary_cost=True
+        )
+        with pytest.raises(ValueError, match="t=0 and"):
+            solve_ilqr(ocp.spec(), cfg)
+
+    def test_auto_default_matches_explicit_off(self):
+        """The default (auto) path on a quadratic cost hoists and must match
+        the explicit-off path bit-for-bit."""
+        spec = _spec()
+        auto = jax.jit(solve_ilqr, static_argnums=1)(
+            spec, ILQRConfig(max_iterations=12, tolerance=1e-9)
+        )
+        off = jax.jit(solve_ilqr, static_argnums=1)(spec, CONFIG)
+        np.testing.assert_array_equal(np.asarray(auto.controls),
+                                      np.asarray(off.controls))
+
+    def test_auto_on_non_quadratic_cost_is_safe(self):
+        """Auto-detection on a non-quadratic cost must keep per-iteration
+        Hessians (same answer as explicit off)."""
+        ocp = OCP(
+            state_dim=4, control_dim=2, horizon_steps=20, dt=0.1,
+            initial_state=jnp.array([0.0, 1.0, 0.0, 0.5]),
+            dynamics=single_track_model,
+            stage_cost=lambda x, u, t: jnp.cos(x[1])
+            + 0.1 * (u[0] ** 2 + u[1] ** 2),
+            terminal_cost=lambda x: 2.0 * x[1] ** 2,
+        )
+        ocp.initialize_problem()
+        spec = ocp.spec()
+        auto = jax.jit(solve_ilqr, static_argnums=1)(
+            spec, ILQRConfig(max_iterations=12, tolerance=1e-9)
+        )
+        off = jax.jit(solve_ilqr, static_argnums=1)(spec, CONFIG)
+        np.testing.assert_array_equal(np.asarray(auto.controls),
+                                      np.asarray(off.controls))
