@@ -13,11 +13,12 @@ efficiency diagnostics (VERDICT r1 item 9):
   input with a scalar chained from the previous rep's output and syncs via
   a host fetch (see _time_reps; repeated identical calls can be served
   from a tunnel-side cache without executing).
-* ``BENCH_BATCH`` defaults to 262144: with the lane-resident fused loop a
-  chained-input batch sweep keeps rising past the round-1 knee (260k
-  solves/s at 32k lanes, 284k at 65k, 297k at 131k) and plateaus at
-  ~305k solves/s from 262k lanes up -- large batches amortize the
-  per-call tunnel overhead.
+* ``BENCH_BATCH`` defaults to 524288 (round 5; was 262144): the fixed
+  ~31 ms per-call tunnel overhead (measured by chaining 1x/2x/3x solves
+  inside one jit: marginal solve 273 ms, intercept 31 ms) amortizes
+  further at larger batches -- measured 1.00M solves/s at 262k lanes,
+  1.06M at 524k, 1.08M at 1M (knee at 524k; 1M doubles wall time for
+  +2%).
 * ``mfu_est`` is an *analytic* algorithmic-FLOP count divided by measured
   time over the chip's f32 matmul peak.  XLA's own cost analysis cannot
   see inside Pallas kernels (it reported 0 FLOPs for the fused path), so
@@ -61,8 +62,19 @@ efficiency diagnostics (VERDICT r1 item 9):
 * The stationary path linearizes INSIDE the Riccati kernel
   (``riccati_fusedlin_pallas_tiled``): each backward grid step reads only
   (x_t, u_t) -- 6 lane tiles instead of the 30-tile A/B/lx/lu stacks --
-  and the separate linearize launch disappears.  Measured A/B at this
-  batch: in-kernel 876k vs separate-kernel 810k solves/s, identical costs.
+  and the separate linearize launch disappears.  Measured A/B at 262k:
+  in-kernel 876k vs separate-kernel 810k solves/s, identical costs.
+
+* Round 5 (xplane-profiled: select kernel 14.05 / Riccati 8.05 / XLA glue
+  4.2 ms of the 26.4 ms iteration at 262k lanes): the select kernel now
+  (a) outputs the trajectory in STAGE layout with in-kernel accept/freeze
+  masking, deleting the loop body's concat-shift and full-stack
+  jnp.where passes, and (b) writes in place over the reference buffers
+  (input_output_aliases), deleting the while-carry copy pass.  The
+  select kernel also processes 2 time steps per grid step
+  (``time_unroll`` auto).  Identical per-lane results (CPU equivalence
+  suite + the exact 157.19426/436.50748/499.59595 cost distribution on
+  the chip); full-result solve 353.5 -> 262 ms at 262k lanes.
 
   (A fixed-trip loop variant ``early_exit=0`` was also measured on the
   theory that the while predicate forces per-iteration host round trips
@@ -168,7 +180,7 @@ def _time_reps(solve_batch, x0, reps):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "262144"))
+    batch = int(os.environ.get("BENCH_BATCH", "524288"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
 
     solve_batch, x0 = _build(jnp.float32, batch)

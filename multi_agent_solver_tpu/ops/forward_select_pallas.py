@@ -41,7 +41,8 @@ TILE = SUB * LANE
 def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
                  has_bounds, has_context,
                  eq_fn=None, eq_dim=0, ineq_fn=None, ineq_dim=0, act_tol=1e-6,
-                 emit_lin=False, lin_discrete=True, sub=SUB):
+                 emit_lin=False, lin_discrete=True, sub=SUB, stage_out=False,
+                 tu=1):
     f32 = jnp.float32
 
     def rk4(x, u):
@@ -88,7 +89,13 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
         if has_al:
             rho_ref = rest[0]
             rest = rest[1:]
-        if emit_lin:
+        active_ref = xT_ref = xT_out = keep_s = None
+        if stage_out:
+            active_ref, xT_ref = rest[:2]
+            rest = rest[2:]
+            (xs_out, us_out, cost_out, accept_out, xT_out,
+             xA_s, costA_s, x2_s, alpha_s, keep_s) = rest
+        elif emit_lin:
             (xs_out, us_out, cost_out, accept_out,
              A_out, B_out, lx_out, lu_out, lxx_out, luu_out, lux_out,
              xA_s, costA_s, x2_s, alpha_s) = rest
@@ -96,58 +103,76 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             (xs_out, us_out, cost_out, accept_out,
              xA_s, costA_s, x2_s, alpha_s) = rest
 
-        def al_terms(x, u):
+        def al_terms(x, u, i=0):
             """AL merit terms with the inequality activation mask
             (reference compute_merit, ilqr.hpp:386-403)."""
             total = jnp.zeros((sub, LANE), jnp.float32)
             rho = rho_ref[0]
             if eq_dim > 0:
                 g = eq_fn(x, u)          # [m, 8, 128]
-                lam = eq_mult_ref[0, 0]  # [m, 8, 128]
+                lam = eq_mult_ref[0, i]  # [m, 8, 128]
                 for m in range(eq_dim):
                     total = total + lam[m] * g[m] + 0.5 * rho * g[m] * g[m]
             if ineq_dim > 0:
                 h = ineq_fn(x, u)
-                lam = ineq_mult_ref[0, 0]
+                lam = ineq_mult_ref[0, i]
                 for m in range(ineq_dim):
                     active = (h[m] > -act_tol).astype(jnp.float32)
                     s = jnp.maximum(h[m], 0.0) * active
                     total = total + (lam[m] * active) * s + 0.5 * rho * s * s
             return total
 
-        t = pl.program_id(1)
-        phase1 = t < T
+        g = pl.program_id(1)
+        P1 = T // tu                    # phase-1 grid steps
+        phase1 = g < P1
 
-        x_ref = xref_ref[0, 0]
-        u_ref = uref_ref[0, 0]
-        k_t = k_ref[0, 0]
-        K_t = K_ref[0, 0]
         lb = lb_ref[0]
         ub = ub_ref[0]
-        if has_context:
-            ctx_t = ctx_ref[0, 0]
-            stage = lambda x, u, tt: stage_cost(x, u, tt, ctx_t)
-        else:
-            stage = stage_cost
 
-        @pl.when(t == 0)
+        def sub_refs(i):
+            """Per-sub-step block slices (time-unroll: blocks carry ``tu``
+            consecutive time slices; ``i`` is the static sub-step index)."""
+            x_ref = xref_ref[0, i]
+            u_ref = uref_ref[0, i]
+            k_t = k_ref[0, i]
+            K_t = K_ref[0, i]
+            if has_context:
+                ctx_t = ctx_ref[0, i]
+                stage = lambda x, u, tt: stage_cost(x, u, tt, ctx_t)
+            else:
+                stage = stage_cost
+            return x_ref, u_ref, k_t, K_t, stage
+
+        @pl.when(g == 0)
         def _():
             for a in range(A):
-                xA_s[a] = x_ref         # trial state starts at x_ref[0] == x0
+                xA_s[a] = xref_ref[0, 0]  # trial state starts at x_ref[0] == x0
             costA_s[...] = jnp.zeros((A, sub, LANE), f32)
 
         @pl.when(phase1)
         def _():
-            for a in range(A):
-                x = xA_s[a]
-                u = control(x, x_ref, u_ref, k_t, K_t, jnp.float32(alphas[a]), lb, ub)
-                step_cost = stage(x, u, t)
-                if has_al:
-                    step_cost = step_cost + al_terms(x, u)
-                costA_s[a] = (costA_s[a] + step_cost).astype(f32)
-                xA_s[a] = rk4(x, u)
+            for i in range(tu):
+                x_ref, u_ref, k_t, K_t, stage = sub_refs(i)
+                t_eff = g * tu + i
+                if stage_out:
+                    # The outputs alias the reference buffers, and Pallas
+                    # writes the output VMEM block back whenever the block
+                    # index advances.  Seed the phase-1 write-backs with the
+                    # reference values so they are no-ops; phase 2
+                    # overwrites the same blocks with the selection.
+                    xs_out[0, i] = x_ref
+                    us_out[0, i] = u_ref
+                for a in range(A):
+                    x = xA_s[a]
+                    u = control(x, x_ref, u_ref, k_t, K_t,
+                                jnp.float32(alphas[a]), lb, ub)
+                    step_cost = stage(x, u, t_eff)
+                    if has_al:
+                        step_cost = step_cost + al_terms(x, u, i)
+                    costA_s[a] = (costA_s[a] + step_cost).astype(f32)
+                    xA_s[a] = rk4(x, u)
 
-        @pl.when(t == T)
+        @pl.when(g == P1)
         def _():
             merit = merit_ref[0]
             sel = jnp.zeros((sub, LANE), f32)
@@ -158,22 +183,48 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
             for a in range(A - 1, -1, -1):
                 total = (costA_s[a] + terminal_cost(xA_s[a])).astype(f32)
                 ok = total < merit
+                if stage_out:
+                    # Frozen (converged) lanes never accept: the whole-lane
+                    # freeze mask moves INSIDE the kernel, replacing the
+                    # XLA-side full-stack jnp.where copies of the loop body.
+                    ok = jnp.logical_and(ok, active_ref[0] > 0.5)
                 sel = jnp.where(ok, jnp.float32(alphas[a]), sel)
                 best_cost = jnp.where(ok, total, best_cost)
                 found = jnp.logical_or(found, ok)
             alpha_s[...] = sel
             cost_out[0] = best_cost
             accept_out[0] = found.astype(f32)
-            x2_s[...] = x_ref           # phase-2 rollout restarts at x0
+            if stage_out:
+                keep_s[...] = found.astype(f32)
+            x2_s[...] = xref_ref[0, 0]  # phase-2 rollout restarts at x0
 
         @pl.when(~phase1)
         def _():
-            x = x2_s[...]
-            u = control(x, x_ref, u_ref, k_t, K_t, alpha_s[...], lb, ub)
-            x_next = rk4(x, u)
-            xs_out[0, 0] = x_next
-            us_out[0, 0] = u
-            x2_s[...] = x_next
+            for i in range(tu):
+                x_ref, u_ref, k_t, K_t, stage = sub_refs(i)
+                x = x2_s[...]
+                u = control(x, x_ref, u_ref, k_t, K_t, alpha_s[...], lb, ub)
+                x_next = rk4(x, u)
+                if stage_out:
+                    # STAGE-layout output: write x_t (the pre-step state),
+                    # masked in-kernel against the incoming reference --
+                    # rejected and frozen lanes get verbatim (x_ref, u_ref)
+                    # copies, so the loop body needs no accept-select pass
+                    # and no concat([x0, xs_tail[:-1]]) shift next
+                    # iteration.
+                    keep = keep_s[...] > 0.5
+                    xs_out[0, i] = jnp.where(keep[None], x, x_ref)
+                    us_out[0, i] = jnp.where(keep[None], u, u_ref)
+
+                    if i == tu - 1:
+                        @pl.when(g == 2 * P1 - 1)
+                        def _():
+                            xT_out[0] = jnp.where(keep[None], x_next,
+                                                  xT_ref[0])
+                else:
+                    xs_out[0, i] = x_next
+                    us_out[0, i] = u
+                x2_s[...] = x_next
 
             if emit_lin:
                 # Emit the NEXT iteration's linearization at the accepted
@@ -198,7 +249,7 @@ def _make_kernel(T, nx, nu, A, alphas, dt, dynamics, stage_cost, terminal_cost,
                     for i in range(nx):
                         B_out[0, 0, i, j] = w(col[i])
 
-                tf = t - T   # stage index within phase 2
+                tf = g - P1  # stage index within phase 2 (emit_lin => tu == 1)
                 def lgrad_x(xx, uu, j):
                     _, g = jax.jvp(lambda a: stage(a, uu, tf), (xx,), (basis(nx, j, x),))
                     return g + lanes
@@ -264,6 +315,9 @@ def forward_select_pallas_tiled(
     act_tol: float = 1e-6,
     emit_lin: bool = False,
     lin_discrete: bool = True,
+    active_l: Array = None,     # [nl, 8, 128] 1.0 = lane still active
+    xT_l: Array = None,         # [nl, nx, 8, 128] incoming terminal state
+    time_unroll: int = 1,       # time steps per grid step (must divide T)
 ):
     """Select kernel on pre-tiled lane-layout stacks (the fused-loop entry).
 
@@ -275,6 +329,16 @@ def forward_select_pallas_tiled(
     ``(A, B, lx, lu, lxx, luu, lux)`` of the accepted trajectory, computed
     by in-kernel forward-mode AD during the phase-2 re-roll -- feeding the
     NEXT iteration's Riccati kernel with no separate linearize launch.
+
+    With ``active_l``/``xT_l`` (stage-out mode, round 5): the states output
+    switches to STAGE layout ``x_0..x_{T-1}`` and a fifth output carries the
+    new terminal state ``[nl, nx, 8, 128]`` -- the exact layout the Riccati
+    kernel consumes, so the fused loop's per-iteration
+    ``concat([x0, xs_tail[:-1]])`` shift disappears.  Accept/freeze masking
+    happens in-kernel (rejected or inactive lanes write verbatim
+    ``x_ref``/``u_ref``/``xT_ref`` copies and keep their merit), replacing
+    the loop body's full-stack ``jnp.where`` passes.  Returns
+    ``(xs_stage_l, us_l, merit_new_l, accept_l, xT_new_l)``.
     """
     nl, T, nx = xref_l.shape[:3]
     nu = uref_l.shape[2]
@@ -286,6 +350,15 @@ def forward_select_pallas_tiled(
     eq_dim = spec.eq_dim if eq_mult_l is not None else 0
     ineq_dim = spec.ineq_dim if ineq_mult_l is not None else 0
     ctx_inner = tuple(ctx_l.shape[2:-2]) if has_context else ()
+    stage_out = active_l is not None
+    assert not (stage_out and emit_lin), "stage_out and emit_lin are exclusive"
+    assert not stage_out or xT_l is not None
+    # Time-unroll: process ``tu`` consecutive time steps per grid step --
+    # halves (at tu=2) the grid-step count and the per-step DMA round
+    # trips of the sequential phases.  Must divide T; emit_lin stays tu=1.
+    tu = max(1, int(time_unroll))
+    if T % tu or emit_lin:
+        tu = 1
 
     kernel = _make_kernel(
         T, nx, nu, A, tuple(float(a) for a in alphas), spec.dt,
@@ -294,13 +367,14 @@ def forward_select_pallas_tiled(
         eq_fn=spec.equality_constraints, eq_dim=eq_dim,
         ineq_fn=spec.inequality_constraints, ineq_dim=ineq_dim,
         act_tol=act_tol, emit_lin=emit_lin, lin_discrete=lin_discrete,
-        sub=sub,
+        sub=sub, stage_out=stage_out, tu=tu,
     )
 
-    tmod = lambda t: jnp.where(t >= T, t - T, t)
+    P1 = T // tu
+    tmod = lambda g: jnp.where(g >= P1, g - P1, g)
     tspec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (sub, LANE),
-        lambda b, t: (b, tmod(t)) + (0,) * len(inner) + (0, 0),
+        (1, tu) + inner + (sub, LANE),
+        lambda b, g: (b, tmod(g)) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
     cspec = lambda *inner: pl.BlockSpec(
@@ -332,26 +406,45 @@ def forward_select_pallas_tiled(
                 jax.ShapeDtypeStruct((nl, T) + inner + (sub, LANE), dtype)
             )
 
+    extra_out_specs, extra_out_shapes, extra_scratch = [], [], []
+    io_aliases = {}
+    if stage_out:
+        extra_inputs += [active_l.astype(dtype), xT_l.astype(dtype)]
+        extra_specs += [cspec(), cspec(nx)]
+        extra_out_specs = [cspec(nx)]
+        extra_out_shapes = [jax.ShapeDtypeStruct((nl, nx, sub, LANE), dtype)]
+        extra_scratch = [pltpu.VMEM((sub, LANE), dtype)]   # keep_s
+        # In-place updates: the stage-out kernel overwrites the reference
+        # trajectory buffers (xref -> xs, uref -> us, xT -> xT_new).  Safe:
+        # each xref/uref block's last read is the SAME phase-2 grid step
+        # that writes it, and the while-loop carry then forwards the buffer
+        # with no XLA copy pass (measured ~1.5 ms/iteration of %copy at
+        # batch 262k).
+        xT_idx = 7 + len(extra_inputs) - 1
+        io_aliases = {0: 0, 1: 1, xT_idx: 4}
+
     return pl.pallas_call(
         kernel,
-        grid=(nl, 2 * T),
+        grid=(nl, 2 * P1),
         in_specs=[
             tspec(nx), tspec(nu), tspec(nu), tspec(nu, nx),
             cspec(), cspec(nu), cspec(nu),
         ] + extra_specs,
-        out_specs=[tspec(nx), tspec(nu), cspec(), cspec()] + lin_specs,
-        out_shape=[
+        out_specs=([tspec(nx), tspec(nu), cspec(), cspec()]
+                   + extra_out_specs + lin_specs),
+        out_shape=([
             jax.ShapeDtypeStruct((nl, T, nx, sub, LANE), dtype),
             jax.ShapeDtypeStruct((nl, T, nu, sub, LANE), dtype),
             jax.ShapeDtypeStruct((nl, sub, LANE), dtype),
             jax.ShapeDtypeStruct((nl, sub, LANE), dtype),
-        ] + lin_shapes,
+        ] + extra_out_shapes + lin_shapes),
         scratch_shapes=[
             pltpu.VMEM((A, nx, sub, LANE), dtype),
             pltpu.VMEM((A, sub, LANE), dtype),
             pltpu.VMEM((nx, sub, LANE), dtype),
             pltpu.VMEM((sub, LANE), dtype),
-        ],
+        ] + extra_scratch,
+        input_output_aliases=io_aliases,
         interpret=interpret,
     )(xref_l.astype(dtype), uref_l.astype(dtype), k_l.astype(dtype),
       K_l.astype(dtype), merit_l.astype(dtype), lb_l.astype(dtype),

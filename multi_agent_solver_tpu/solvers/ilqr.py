@@ -174,6 +174,12 @@ class ILQRConfig:
     # time-constant Hessian blocks (hess_tconst).  Identical results
     # (tests/test_fused_loop.py); only device time differs.
     stationary_fusedlin: bool = True
+    # Select-kernel time unroll (param ``time_unroll``): consecutive time
+    # steps processed per sequential grid step of the forward-select kernel.
+    # 0 = auto (2 when the horizon divides evenly, else 1).  Identical
+    # arithmetic per sub-step -- only the grid-step count and DMA cadence
+    # change.
+    time_unroll: int = 0
     # Lane-resident fused-loop routing for batched solves (param ``fused``):
     # 'auto' (default) fuses eligible unconstrained/uncoupled problems only;
     # 'on' also fuses coupled (context) and AL-constrained solves; 'off'
@@ -231,6 +237,7 @@ class ILQRConfig:
                 "auto" if "fused" not in params
                 else ("on" if param_flag(params, "fused") else "off")
             ),
+            time_unroll=int(get_param(params, "time_unroll", 0.0)),
             differentiable=param_flag(params, "differentiable"),
             state_bounds_al=param_flag(params, "state_bounds_al"),
             max_ms=get_param(params, "max_ms", 0.0),
@@ -1033,6 +1040,10 @@ def _solve_ilqr_batched_fused(
     # iteration-scheduled ladder: full reference granularity during the
     # global phase, the short ladder once steps are Newton-quality.
     use_schedule = config.alpha_warmup > 0 and ladder_short != ladder_full
+    # Select-kernel time unroll (see ILQRConfig.time_unroll): auto = 2.
+    tu_sel = config.time_unroll if config.time_unroll > 0 else 2
+    if T % tu_sel:
+        tu_sel = 1
     # Statics carrier for the kernels (they read only spec statics).
     spec0 = jax.tree_util.tree_map(
         lambda x: x[0] if getattr(x, "ndim", 0) > 0 else x, specs
@@ -1053,6 +1064,13 @@ def _solve_ilqr_batched_fused(
         jnp.full((nb, SUBL, LANE), jnp.inf, f32), lb_l, ub_l,
         (0.0,), interpret, ctx_l=ctx_l,
     )
+    # STAGE-layout carry (round 5): the loop carries (x_0..x_{T-1}, x_T)
+    # instead of x_1..x_T -- the layout both the Riccati and select kernels
+    # consume/produce natively, so the per-iteration concat-shift and the
+    # XLA-side accept/freeze jnp.where passes (measured 4.2 ms of the
+    # 26.4 ms iteration at batch 262k) disappear.
+    xs_stage_l0 = jnp.concatenate([x0_l[:, None], xs_tail_l0[:, :-1]], axis=1)
+    xT_l0 = xs_tail_l0[:, -1]
 
     eq_dim, ineq_dim = specs.eq_dim, specs.ineq_dim
     has_al = eq_dim > 0 or ineq_dim > 0
@@ -1073,9 +1091,6 @@ def _solve_ilqr_batched_fused(
         )
         hess_l = pre[4:]                    # each [nb, 1, ..., SUBL, LANE]
     elif quad:
-        xs_stage_l0 = jnp.concatenate(
-            [x0_l[:, None], xs_tail_l0[:, :-1]], axis=1
-        )
         pre = linearize_pallas_tiled(
             spec0, xs_stage_l0, us_l0, discrete, interpret, ctx_l=ctx_l
         )
@@ -1092,11 +1107,11 @@ def _solve_ilqr_batched_fused(
                 if dim > 0 else None)
 
     def cond(state):
-        it, converged_l = state[8], state[9]
+        it, converged_l = state[9], state[10]
         return (it < config.max_iterations) & jnp.any(~converged_l)
 
     def body(state):
-        (xs_tail_l, us_l, cost_l, eq_mult_l, ineq_mult_l, rho_l,
+        (xs_stage_l, xT_l, us_l, cost_l, eq_mult_l, ineq_mult_l, rho_l,
          eqv_l, inv_l, it, converged_l) = state
         active = ~converged_l                            # [nb, 8, 128]
 
@@ -1106,7 +1121,6 @@ def _solve_ilqr_batched_fused(
         # end-to-end: it serializes (nx+nu+Hessian) jvp chains into the
         # sequential phase-2 grid steps, whereas the standalone launch
         # pipelines freely across all (b, t) blocks.
-        xs_stage_l = jnp.concatenate([x0_l[:, None], xs_tail_l[:, :-1]], axis=1)
         if stationary and config.stationary_fusedlin:
             lin = None     # in-kernel linearization (riccati_fusedlin below)
         elif stationary:
@@ -1161,7 +1175,7 @@ def _solve_ilqr_batched_fused(
             # (reads x, u -- 6 lane tiles per stage instead of 30 -- and no
             # separate linearize launch; see riccati_fusedlin_pallas_tiled).
             k_l, K_l = riccati_fusedlin_pallas_tiled(
-                xs_stage_l, us_l, *hess_l, xs_tail_l[:, -1],
+                xs_stage_l, us_l, *hess_l, xT_l,
                 dynamics=spec0.dynamics, stage_cost=spec0.stage_cost,
                 terminal_fn=spec0.terminal_cost, dt=spec0.dt,
                 discrete=discrete,
@@ -1171,7 +1185,7 @@ def _solve_ilqr_batched_fused(
             )
         elif stationary:
             k_l, K_l = riccati_backward_pallas_tiled(
-                *(lin + hess_l), xs_tail_l[:, -1], vxx_dummy,
+                *(lin + hess_l), xT_l, vxx_dummy,
                 reg_init=config.reg_init, reg_factor=config.reg_factor,
                 reg_levels=config.reg_levels, interpret=interpret,
                 lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
@@ -1179,13 +1193,15 @@ def _solve_ilqr_batched_fused(
             )
         else:
             k_l, K_l = riccati_backward_pallas_tiled(
-                *lin, xs_tail_l[:, -1], vxx_dummy,
+                *lin, xT_l, vxx_dummy,
                 reg_init=config.reg_init, reg_factor=config.reg_factor,
                 reg_levels=config.reg_levels, interpret=interpret,
                 lb_l=blb, ub_l=bub, terminal_fn=spec0.terminal_cost,
             )
 
         def run_select(ladder):
+            # stage_out mode: accept + freeze masking and the stage-layout
+            # shift happen in-kernel (see forward_select_pallas docstring).
             return forward_select_pallas_tiled(
                 spec0, xs_stage_l, us_l, k_l, K_l, merit_l, lb_l, ub_l,
                 ladder, interpret, ctx_l=ctx_l,
@@ -1193,31 +1209,30 @@ def _solve_ilqr_batched_fused(
                 ineq_mult_l=ineq_mult_l if ineq_dim > 0 else None,
                 rho_l=rho_l if has_al else None,
                 act_tol=config.inequality_activation_tolerance,
+                active_l=active.astype(f32), xT_l=xT_l,
+                time_unroll=tu_sel,
             )
 
         if use_schedule:
-            xs_sel, us_sel, merit_new, accept_l = jax.lax.cond(
+            xs_stage_new, us_new, merit_kept, accept_l, xT_new = jax.lax.cond(
                 it < config.alpha_warmup,
                 lambda: run_select(ladder_full),
                 lambda: run_select(ladder_short),
             )
         else:
-            xs_sel, us_sel, merit_new, accept_l = run_select(ladder_short)
-        acc = (accept_l > 0.5) & active                  # [nb, 8, 128]
-        accT = acc[:, None, None]                        # broadcast over (T, d)
-        xs_tail_new = jnp.where(accT, xs_sel, xs_tail_l)
-        us_new = jnp.where(accT, us_sel, us_l)
-        merit_kept = jnp.where(acc, merit_new, merit_l)
+            xs_stage_new, us_new, merit_kept, accept_l, xT_new = (
+                run_select(ladder_short)
+            )
+        # accept_l is already ANDed with active and the rejected/frozen
+        # lanes' outputs are verbatim copies of the inputs (in-kernel
+        # masking) -- no XLA-side select passes needed.
         improvement = merit_l - merit_kept
 
         if has_al:
             # True objective of the kept trajectory + dual/penalty updates
             # at it (reference order: ilqr.hpp:233,239-260).
-            xs_stage_new = jnp.concatenate(
-                [x0_l[:, None], xs_tail_new[:, :-1]], axis=1
-            )
             cost_new = _lane_objective(
-                spec0, xs_stage_new, xs_tail_new[:, -1], us_new, ctx_l=ctx_l
+                spec0, xs_stage_new, xT_new, us_new, ctx_l=ctx_l
             )
             rho3 = rho_l[:, None, None]
             eq_viol = ineq_viol = zeros_lane
@@ -1248,18 +1263,20 @@ def _solve_ilqr_batched_fused(
                 new, old,
             )
             return (
-                xs_tail_new, us_new, mask(cost_new, cost_l),
+                xs_stage_new, xT_new, us_new, mask(cost_new, cost_l),
                 mask(eq_mult_new, eq_mult_l), mask(ineq_mult_new, ineq_mult_l),
                 mask(rho_new, rho_l), mask(eq_viol, eqv_l),
                 mask(ineq_viol, inv_l), it + 1, converged_l | newly,
             )
 
         newly = active & (improvement < config.tolerance)
-        return (xs_tail_new, us_new, merit_kept, eq_mult_l, ineq_mult_l,
-                rho_l, eqv_l, inv_l, it + 1, converged_l | newly)
+        return (xs_stage_new, xT_new, us_new, merit_kept, eq_mult_l,
+                ineq_mult_l, rho_l, eqv_l, inv_l, it + 1,
+                converged_l | newly)
 
-    init = (xs_tail_l0, us_l0, obj_l0, eq_mult_l0, ineq_mult_l0, rho_l0,
-            zeros_lane, zeros_lane, jnp.asarray(0, jnp.int32), converged_l0)
+    init = (xs_stage_l0, xT_l0, us_l0, obj_l0, eq_mult_l0, ineq_mult_l0,
+            rho_l0, zeros_lane, zeros_lane, jnp.asarray(0, jnp.int32),
+            converged_l0)
     if config.early_exit:
         final = jax.lax.while_loop(cond, body, init)
     else:
@@ -1269,7 +1286,9 @@ def _solve_ilqr_batched_fused(
         final = jax.lax.fori_loop(
             0, config.max_iterations, lambda _, s: body(s), init
         )
-    (xs_tail_l, us_l, cost_l, _, _, _, eqv_l, inv_l, it, converged_l) = final
+    (xs_stage_l, xT_l, us_l, cost_l, _, _, _, eqv_l, inv_l, it,
+     converged_l) = final
+    xs_tail_l = jnp.concatenate([xs_stage_l[:, 1:], xT_l[:, None]], axis=1)
 
     from ..ops.forward_select_pallas import _from_lanes
     unpack = lambda arr: _from_lanes(arr, B)

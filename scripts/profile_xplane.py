@@ -37,9 +37,14 @@ def build():
     x0[:, 1] = rng.uniform(0.5, 1.5, B)
     x0 = jnp.asarray(x0)
 
+    full = os.environ.get("FULL", "0") == "1"
+
     def solve(xb):
         specs = jax.vmap(lambda s0: spec.replace(initial_state=s0))(xb)
-        return solve_ilqr_batched(specs, config).cost
+        result = solve_ilqr_batched(specs, config)
+        # FULL=1 keeps the whole SolveResult live (states/controls untile
+        # included -- what bench.py measures); default keeps cost only.
+        return result if full else result.cost
 
     return jax.jit(solve), x0
 
@@ -72,13 +77,12 @@ def aggregate(trace_dir):
 
 def main():
     solve, x0 = build()
-    cost = solve(x0)
-    cost.block_until_ready()
+    jax.block_until_ready(solve(x0))
 
     trace_dir = tempfile.mkdtemp(prefix="xplane_")
     with jax.profiler.trace(trace_dir):
         out = solve(x0 + 1e-6)
-        out.block_until_ready()
+        jax.block_until_ready(out)
 
     totals, counts = aggregate(trace_dir)
     grand = sum(totals.values())
