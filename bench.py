@@ -165,15 +165,22 @@ def _time_reps(solve_batch, x0, reps):
     (can't be deduplicated or reordered) and syncs with an explicit host
     fetch.  The fetch adds one round-trip (~3 ms) per rep -- honest in the
     pessimistic direction.
+
+    Round-5 fix: the perturbation must actually FLIP INPUT BITS -- the old
+    ``cost[0] * 1e-12`` (~1.6e-10) was below the f32 ulp of the ~1.0-scale
+    inputs, so every rep's input was bitwise identical and the anti-cache
+    defense was void.  The floor is dtype-aware (bf16 ulp at 1.0 is
+    ~0.004) and still solve-chained so reps cannot be reordered.
     """
+    eps_floor = 1e-2 if x0.dtype == jnp.bfloat16 else 1e-5
     result = solve_batch(x0)
-    acc = result.cost[0] * 1e-12
+    acc = result.cost[0] * 1e-9 + eps_floor
     float(acc)                             # sync the warmup/compile
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         result = solve_batch(x0 + acc)     # chained distinct input
-        acc = result.cost[0] * 1e-12
+        acc = result.cost[0] * 1e-9 + eps_floor
         float(acc)                         # sync this rep
         times.append(time.perf_counter() - t0)
     return np.asarray(times), result
