@@ -10,6 +10,23 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_cpu_prefer_vector_width" not in _flags:
     os.environ["XLA_FLAGS"] = f"{_flags} --xla_cpu_prefer_vector_width=128".strip()
 
+# Persistent XLA compilation cache (round 5): the QP example cells spend
+# ~39 s compiling and ~0.1 s executing (measured on the TPU), so every
+# fresh-process run of an example re-pays the whole compile.  A measured
+# warm-cache run drops the centralized-osqp LQR cell 47 s -> 16 s.  Honor
+# an explicit JAX_COMPILATION_CACHE_DIR; default to a user-cache directory.
+if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+    _cache = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "multi_agent_solver_tpu", "jax_cache",
+    )
+    try:
+        os.makedirs(_cache, exist_ok=True)
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    except OSError:
+        pass
+
 import jax
 
 _env_platforms = os.environ.get("JAX_PLATFORMS")

@@ -45,8 +45,24 @@ from .small import spd_inv_unrolled
 def _inv_spd(X: Array) -> Array:
     """SPD block inverse: unrolled Cholesky for small static n (the 40x-slow
     batched-tiny-LU pitfall, ops/small.py::spd_inv_unrolled), generic LU
-    beyond the unroll's sweet spot."""
-    return spd_inv_unrolled(X) if X.shape[-1] <= 32 else jnp.linalg.inv(X)
+    beyond the unroll's sweet spot.
+
+    The unroll emits ~n^3 traced scalar ops, so it only pays when a LARGE
+    batch amortizes them on the VPU.  At example scale (batch ~1-10 stage
+    blocks, n ~ 30 for a 10-agent global OCP) the unrolled trace/compile
+    dominated the whole solve -- measured 39 s compile / 9.4 s trace for
+    ONE centralized-osqp LQR cell, ~5 s of it tracing 8 unrolled 30x30
+    inverses -- while a plain LU at that batch is microseconds.  Gate:
+    unroll only for genuinely tiny blocks, or batches big enough to hit
+    the batched-tiny-LU pitfall the unroll exists to avoid (round 3:
+    [40960, 6, 6] measured 99 ms LU vs sub-ms unrolled)."""
+    n = X.shape[-1]
+    batch_elems = 1
+    for s in X.shape[:-2]:
+        batch_elems *= int(s)
+    if n <= 8 or (batch_elems >= 1024 and n <= 32):
+        return spd_inv_unrolled(X)
+    return jnp.linalg.inv(X)
 
 
 class BTLevel(NamedTuple):
