@@ -1,15 +1,24 @@
 """MPPI (Model Predictive Path Integral) solver — a TPU-native addition.
 
 The reference has no sampling-based solver (its families are iLQR / CGD /
-SQP, solvers/solver.hpp:17-22).  MPPI is included here because it is the
-solver family that maps *best* onto the TPU execution model: each outer
-iteration is ``num_samples`` completely independent full-horizon rollouts —
-pure data parallelism with no per-lane control flow, no line search, no
-factorization — evaluated as one ``[K, ...]``-batched ``lax.scan`` whose
-inner ops are large elementwise VPU tiles (and MXU matmuls once dynamics
-carry matrix structure).  Batched problems vmap to ``[B, K, ...]`` with no
-interaction, so the same code path scales from one OCP to a mesh-sharded
-fleet (parallel/mesh.py shards the leading batch axis).
+SQP, solvers/solver.hpp:17-22).  MPPI is included because its execution
+shape is TPU-friendly: each outer iteration is ``num_samples`` completely
+independent full-horizon rollouts — pure data parallelism with no per-lane
+control flow, no line search, no factorization — evaluated as one
+``[K, ...]``-batched ``lax.scan``.  Batched problems vmap to ``[B, K, ...]``
+with no interaction, so the same code path scales from one OCP to a
+mesh-sharded fleet (parallel/mesh.py shards the leading batch axis).
+
+Measured honestly (round 5, scripts/bench_mppi.py on the TPU): the
+execution-model fit does NOT make it a throughput solver on smooth
+problems — K x iters rollouts per solve is ~50x the fused iLQR's
+algorithmic work, and the derivative-free update converges to worse
+optima on smooth costs (single-track: 2.3k solves/s at K=64 with median
+cost 195 vs iLQR's 141k solves/s at median 153; docs/BENCHMARKS.md
+"MPPI vs iLQR").  Its role is GLOBAL exploration on non-smooth or
+multimodal landscapes: the cart-pole swing-up example uses an MPPI
+global phase to find the upright basin that stalls pure iLQR, then
+polishes with iLQR (examples/cartpole_swing_up.py).
 
 Algorithm (information-theoretic MPC, Williams et al., ICRA 2017):
 per iteration, sample control perturbations ``eps ~ N(0, diag(sigma^2))``,
