@@ -129,6 +129,32 @@ def _solve_flops(T=80, iters=10, nx=4, nu=2, n_alphas=3):
     return iters * per_iter + rollout0
 
 
+def _solve_transcendentals(T=80, iters=10, n_alphas=3):
+    """Transcendental evaluations per solve (cos/sin/tan of the bicycle
+    dynamics: 3 per dynamics eval, 4 evals per RK4 step).
+
+    Counted assuming the compiler CSEs the repeated primal inside the
+    Riccati kernel's 6 jvp chains (tangents of sin/cos/tan reuse the
+    primal's sin/cos/tan).  Measured cost on this chip (2026-08-20
+    micro-bench, XLA lowering): one transcendental ~= 28.6 chained fma
+    ~= 57 flops of VPU issue -- the dominant term of the fused path's
+    roofline (docs/BENCHMARKS.md "Roofline").
+    """
+    per_step = 4 * 3                                  # one RK4 step
+    per_iter = (n_alphas + 1) * T * per_step + T * per_step
+    return iters * per_iter + T * per_step
+
+
+# Measured Mosaic/Pallas marginal cost of one sin/cos/tan in chained-fma
+# equivalents (fori_loop chains, overhead differenced out, 2026-08-20:
+# fma 874 Gelem/s, sin 35.8, tan 31.0 -> ~24-28x; see docs/BENCHMARKS.md
+# "Roofline").  Priced SERIALLY -- the VPU co-issues transcendental
+# chains with surrounding arithmetic, so a load estimate > 1.0 means the
+# kernels are saturating the multi-issue limit, not that the model is
+# broken.
+TRANSC_FMA_EQUIV = 25.0
+
+
 def _build(spec_dtype, batch):
     from __graft_entry__ import _single_track_spec
     from multi_agent_solver_tpu.solvers.ilqr import ILQRConfig, solve_ilqr_batched
@@ -200,6 +226,17 @@ def main():
     achieved = flops / float(np.median(times))
     mfu = round(achieved / V5E_PEAK_F32, 5)
     vpu_util = round(achieved / V5E_PEAK_VPU, 4)
+    # Serial-priced VPU issue load: (plain flops + measured ~25 fma-equiv
+    # per transcendental) / wall, against the serial chained-fma rate.
+    # The undercount model (vpu_util_est) treats sin/cos/tan as 1 flop
+    # and so reads low on this transcendental-dominated workload; this
+    # one reads HIGH (> 1.0 = the kernels co-issue transcendental chains
+    # with surrounding arithmetic -- the VPU is saturated at fixed
+    # algorithm + precision; see docs/BENCHMARKS.md "Roofline").
+    flops_eq = flops + _solve_transcendentals() * batch * TRANSC_FMA_EQUIV * 2.0
+    vpu_load_serial = round(
+        flops_eq / float(np.median(times)) / V5E_PEAK_VPU, 4
+    )
 
     f32_costs = np.asarray(result.cost, np.float64)
 
@@ -227,6 +264,7 @@ def main():
         "batch": batch,
         "mfu_est": mfu,
         "vpu_util_est": vpu_util,
+        "vpu_load_serial_est": vpu_load_serial,
         "bf16_solves_per_s": bf16_rate,
     }
     print(json.dumps(out))

@@ -404,7 +404,7 @@ class _M2:
 
 
 def _make_fusedlin_kernel(T, nx, nu, reg_levels, dt, dynamics, stage_cost,
-                          discrete, terminal_fn, sub, boxqp):
+                          discrete, terminal_fn, sub, boxqp, tu=1):
     """Riccati stage kernel that LINEARIZES IN-KERNEL (stationary-cost path).
 
     Instead of consuming precomputed ``A/B/lx/lu`` stacks, each grid step
@@ -416,6 +416,11 @@ def _make_fusedlin_kernel(T, nx, nu, reg_levels, dt, dynamics, stage_cost,
     linearize launch (plus its HBM round trip for A/B/lx/lu) disappears.
     Cost Hessians arrive as time-constant blocks (stationary quadratic
     cost), fetched once per batch row.
+
+    ``tu`` (time-unroll, round 5): each grid step carries ``tu`` consecutive
+    time slices and runs the stage recursion over them latest-first --
+    identical arithmetic, 1/tu the grid steps and per-step DMA round trips
+    (the same trade the select kernel's ``time_unroll`` makes).
     """
 
     def step_map(x, u):
@@ -440,12 +445,6 @@ def _make_fusedlin_kernel(T, nx, nu, reg_levels, dt, dynamics, stage_cost,
         def _():
             _terminal_into_scratch(terminal_fn, xT_ref[0], nx, vx_s, vxx_s)
 
-        x = x_ref[0, 0]      # [nx, sub, 128]
-        u = u_ref[0, 0]      # [nu, sub, 128]
-        lanes = jnp.zeros_like(x[0])
-        # The grid runs t reversed; the real time index for the stage cost.
-        t_lane = lanes + jnp.asarray(T - 1 - t_idx, jnp.float32)
-
         def basis(n, j, like):
             zeros = jnp.zeros_like(like[0])
             ones = jnp.ones_like(like[0])
@@ -454,48 +453,72 @@ def _make_fusedlin_kernel(T, nx, nu, reg_levels, dt, dynamics, stage_cost,
             )
 
         f32 = lambda v: jnp.asarray(v, jnp.float32)
-        A = [[None] * nx for _ in range(nx)]
-        for j in range(nx):
-            _, col = jax.jvp(lambda xx: step_map(xx, u), (x,), (basis(nx, j, x),))
-            for i in range(nx):
-                A[i][j] = f32(col[i])
-        Bm = [[None] * nu for _ in range(nx)]
-        for j in range(nu):
-            _, col = jax.jvp(lambda uu: step_map(x, uu), (u,), (basis(nu, j, u),))
-            for i in range(nx):
-                Bm[i][j] = f32(col[i])
-        lx = []
-        for j in range(nx):
-            _, g = jax.jvp(
-                lambda a: stage_cost(a, u, t_lane), (x,), (basis(nx, j, x),)
-            )
-            lx.append(f32(g + lanes))
-        lu = []
-        for j in range(nu):
-            _, g = jax.jvp(
-                lambda a: stage_cost(x, a, t_lane), (u,), (basis(nu, j, u),)
-            )
-            lu.append(f32(g + lanes))
-
+        # The value-function carry flows latest-first THROUGH the unrolled
+        # sub-steps in registers; scratch only bridges grid steps.
         v_x = [vx_s[i] for i in range(nx)]
         v_xx = [[vxx_s[i, j] for j in range(nx)] for i in range(nx)]
-        lb = [lb_ref[0, 0, i] for i in range(nu)] if boxqp else None
-        ub = [ub_ref[0, 0, i] for i in range(nu)] if boxqp else None
-        k_t, K_t, new_vx, new_vxx = _stage_core(
-            _M2(A), _M2(Bm), lx, lu,
-            lxx_ref[0, 0], luu_ref[0, 0], lux_ref[0, 0],
-            v_x, v_xx, nx, nu, sub, reg_levels, boxqp, lb, ub,
-        )
 
-        for i in range(nu):
-            k_ref[0, 0, i] = k_t[i]
+        for s in range(tu - 1, -1, -1):
+            x = x_ref[0, s]      # [nx, sub, 128]
+            u = u_ref[0, s]      # [nu, sub, 128]
+            lanes = jnp.zeros_like(x[0])
+            # The grid runs time-blocks reversed; block t_idx holds real
+            # times [(P-1-t_idx)*tu .. +tu-1] with P = T//tu, processed
+            # latest (s = tu-1) first.
+            t_lane = lanes + (
+                jnp.asarray(T - tu, jnp.float32)
+                - jnp.asarray(float(tu), jnp.float32) * t_idx.astype(jnp.float32)
+                + jnp.asarray(float(s), jnp.float32)
+            )
+
+            A = [[None] * nx for _ in range(nx)]
             for j in range(nx):
-                K_ref[0, 0, i, j] = K_t[i][j]
+                _, col = jax.jvp(lambda xx: step_map(xx, u), (x,),
+                                 (basis(nx, j, x),))
+                for i in range(nx):
+                    A[i][j] = f32(col[i])
+            Bm = [[None] * nu for _ in range(nx)]
+            for j in range(nu):
+                _, col = jax.jvp(lambda uu: step_map(x, uu), (u,),
+                                 (basis(nu, j, u),))
+                for i in range(nx):
+                    Bm[i][j] = f32(col[i])
+            lx = []
+            for j in range(nx):
+                _, g = jax.jvp(
+                    lambda a: stage_cost(a, u, t_lane), (x,), (basis(nx, j, x),)
+                )
+                lx.append(f32(g + lanes))
+            lu = []
+            for j in range(nu):
+                _, g = jax.jvp(
+                    lambda a: stage_cost(x, a, t_lane), (u,), (basis(nu, j, u),)
+                )
+                lu.append(f32(g + lanes))
+
+            lb = [lb_ref[0, s, i] for i in range(nu)] if boxqp else None
+            ub = [ub_ref[0, s, i] for i in range(nu)] if boxqp else None
+            k_t, K_t, new_vx, new_vxx = _stage_core(
+                _M2(A), _M2(Bm), lx, lu,
+                lxx_ref[0, 0], luu_ref[0, 0], lux_ref[0, 0],
+                v_x, v_xx, nx, nu, sub, reg_levels, boxqp, lb, ub,
+            )
+
+            for i in range(nu):
+                k_ref[0, s, i] = k_t[i]
+                for j in range(nx):
+                    K_ref[0, s, i, j] = K_t[i][j]
+            v_x = new_vx
+            v_xx = [
+                [0.5 * (new_vxx[i][j] + new_vxx[j][i]) for j in range(nx)]
+                for i in range(nx)
+            ]
+
         for j in range(nx):
-            vx_s[j] = new_vx[j]
+            vx_s[j] = v_x[j]
         for i in range(nx):
             for j in range(nx):
-                vxx_s[i, j] = 0.5 * (new_vxx[i][j] + new_vxx[j][i])
+                vxx_s[i, j] = v_xx[i][j]
 
     return kernel
 
@@ -519,6 +542,7 @@ def riccati_fusedlin_pallas_tiled(
     interpret: bool = False,
     lb_l: Array = None,   # [nb, T, nu, sub, 128] delta bounds -> in-kernel box QP
     ub_l: Array = None,
+    time_unroll: int = 1,  # time steps per grid step (must divide T)
 ):
     """Backward pass with in-kernel linearization (stationary-cost fused path).
 
@@ -533,6 +557,14 @@ def riccati_fusedlin_pallas_tiled(
     sub = xs_stage_l.shape[-2]
     dtype = jnp.float32
     boxqp = lb_l is not None
+    tu = max(1, int(time_unroll))
+    # boxqp stays tu=1: the in-kernel active-set gain solve is a large
+    # traced body, and unrolling it 2x sent the interpret-mode compile of
+    # the boxqp equivalence test from minutes to >40 min for a ~3% kernel
+    # win the boxqp path doesn't need.
+    if T % tu or boxqp:
+        tu = 1
+    P = T // tu
 
     levels = tuple(
         float(reg_init * (reg_factor**j - 1.0) / (reg_factor - 1.0))
@@ -540,12 +572,12 @@ def riccati_fusedlin_pallas_tiled(
     )
     kernel = _make_fusedlin_kernel(
         T, nx, nu, levels, dt, dynamics, stage_cost, discrete,
-        terminal_fn, sub, boxqp,
+        terminal_fn, sub, boxqp, tu=tu,
     )
 
-    rev = lambda b, t: (b, T - 1 - t)
+    rev = lambda b, t: (b, P - 1 - t)
     spec = lambda *inner: pl.BlockSpec(
-        (1, 1) + inner + (sub, LANE),
+        (1, tu) + inner + (sub, LANE),
         lambda b, t: rev(b, t) + (0,) * len(inner) + (0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -568,7 +600,7 @@ def riccati_fusedlin_pallas_tiled(
     ) + bound_inputs + (xT_l.astype(dtype),)
     return pl.pallas_call(
         kernel,
-        grid=(nb, T),
+        grid=(nb, P),
         in_specs=[
             spec(nx), spec(nu),
             hspec(nx, nx), hspec(nu, nu), hspec(nu, nx),
