@@ -55,7 +55,20 @@ import time
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_cpu_prefer_vector_width" not in _flags:
-    os.environ["XLA_FLAGS"] = f"{_flags} --xla_cpu_prefer_vector_width=128".strip()
+    _flags = f"{_flags} --xla_cpu_prefer_vector_width=128".strip()
+# Virtual-mesh honesty (round 5, measured): with multi-threaded eigen each
+# of the N concurrent device programs fans its ops across ALL host cores,
+# so at N = cores the 4 programs x ~2 intra-op threads oversubscribe the
+# host and aggregate throughput COLLAPSES below the N=2 point (measured
+# 527 vs 915 solves/s at production shape).  Single-threaded eigen makes
+# one virtual device = one core's compute -- the configuration the
+# efficiency_vs_cores normalization assumes -- and restores the ceiling
+# (926 solves/s at N=4 = 93% of 4x the pinned 1-core rate).  Real TPU
+# meshes are unaffected (CPU-backend flag only).
+if ("--xla_force_host_platform_device_count" in _flags
+        and "--xla_cpu_multi_thread_eigen" not in _flags):
+    _flags = f"{_flags} --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = _flags
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -164,9 +177,44 @@ def main(argv=None) -> int:
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    def pin_cores(n):
+        """Virtual-mesh honesty (round 5, measured): restrict the process to
+        min(n, cores) cores so N virtual devices model N single-core chips.
+
+        Without this, XLA:CPU fans EACH device program across the whole
+        host (a 1-device run measured 480 solves/s on 2+ cores vs 248
+        pinned to one), so rate_1 is not a per-core rate and the
+        efficiency normalization is skewed both ways: N=1 looks too fast,
+        N=cores pays oversubscription (measured 527 vs 926 solves/s at
+        N=4 production shape before the eigen flag + pinning).  With
+        pinning, ideal aggregate at N <= cores is exactly N x rate_1."""
+        if not devices_are_virtual or not hasattr(os, "sched_setaffinity"):
+            return
+        avail = sorted(_initial_affinity)
+        mask = set(avail[: max(1, min(n, len(avail)))])
+        # sched_setaffinity(0, ...) pins only the CALLING thread; XLA's
+        # pool threads (spawned at client init with full affinity) must be
+        # pinned individually or the rows are half-pinned (measured: an
+        # N=1 row read 199/s with only the main thread pinned vs 248/s
+        # with every thread on one core).
+        try:
+            tids = [int(t) for t in os.listdir("/proc/self/task")]
+        except OSError:  # pragma: no cover
+            tids = [0]
+        for tid in tids:
+            try:
+                os.sched_setaffinity(tid, mask)
+            except OSError:  # pragma: no cover
+                pass
+
+    _initial_affinity = (
+        os.sched_getaffinity(0) if hasattr(os, "sched_getaffinity") else set()
+    )
+
     rows = []
     rate1 = None
     for n in counts:
+        pin_cores(n)
         mesh = make_mesh(n_data=n, n_agent=1, devices=devices[:n])
         batch = args.per_device_batch * n
         specs = build_specs(batch, mesh)
@@ -243,12 +291,12 @@ def main(argv=None) -> int:
             rows and min(r["efficiency_vs_cores"] for r in rows) >= 0.8
         ),
         "note": (
-            "virtual CPU mesh: N devices timeshare {} physical cores, so "
-            "plain weak-scaling efficiency is bounded by cores/N; "
-            "efficiency_vs_cores is the honest partitioning-overhead metric "
-            "here (the two coincide on real device meshes)".format(
-                physical_cores
-            )
+            "virtual CPU mesh: each row pins the process to min(N, {c}) "
+            "cores (single-threaded eigen), so N virtual devices model N "
+            "single-core chips and ideal aggregate at N <= {c} is N x "
+            "rate_1; beyond {c} cores the min(N, cores) cap applies "
+            "(efficiency_vs_cores; coincides with plain efficiency on "
+            "real device meshes)".format(c=physical_cores)
             if devices_are_virtual else None
         ),
     }
