@@ -51,6 +51,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # after the XLA:CPU backend's ~40-minute single-process heap-corruption
 # window.  Single source of truth: test_zz_quarantined imports this tuple.
 QUARANTINED_MODULES = (
+    # Round 5: the crash window moved EARLIER when the Riccati kernel
+    # changed (fresh compiles shift wherever the corruption lands; a
+    # full-suite run segfaulted inside test_pallas_riccati at the 30%
+    # mark), so the heavy kernel-equivalence modules just before the old
+    # boundary join the quarantine.
+    "test_pallas_riccati", "test_parallel", "test_parity_fuzz",
     "test_qp_parity", "test_qp_scale", "test_qp_solvers",
     "test_quadratic_cost", "test_quadrotor", "test_quadrotor_rotor",
     "test_riccati_assoc",

@@ -14,6 +14,13 @@ subprocess running all 11 modules cold aborts (SIGABRT) near its end just
 like the main session used to -- so the runner now shards the modules
 into THREE subprocesses, each comfortably inside the window, surfaced as
 three pytest cases so a shard failure names its modules.
+
+Round 5 (suite diet, VERDICT r4 item 8): the three shards now run
+CONCURRENTLY -- all subprocesses are launched when the first shard case
+executes, and each case just waits on its own.  The shards are separate
+interpreters on a 4-core host, so overlapping them converts the back
+half from sum-of-shards to max-of-shards wall time; correctness is
+unaffected (each shard is the same isolated interpreter as before).
 """
 
 import os
@@ -34,19 +41,45 @@ _conftest = _ilu.module_from_spec(_spec)
 _spec.loader.exec_module(_conftest)
 QUARANTINED = _conftest.QUARANTINED_MODULES
 
-N_SHARDS = 3
+N_SHARDS = 4
 SHARDS = [tuple(QUARANTINED[i::N_SHARDS]) for i in range(N_SHARDS)]
+
+
+_procs = {}
+
+
+@__import__("atexit").register
+def _reap_orphans():
+    # If only a subset of shard cases ran (e.g. -k filtering), kill the
+    # launched-but-unwaited siblings so they don't outlive the session.
+    for p in _procs.values():
+        if p.poll() is None:
+            p.kill()
+
+
+def _launch_all():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for s in range(N_SHARDS):
+        files = [f"tests/{m}.py" for m in SHARDS[s]]
+        _procs[s] = subprocess.Popen(
+            [sys.executable, "-m", "pytest", *files, "-q"],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
 
 
 @pytest.mark.parametrize("shard", range(N_SHARDS))
 def test_quarantined_back_half_in_fresh_process(shard):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = [f"tests/{m}.py" for m in SHARDS[shard]]
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", *files, "-q"],
-        cwd=repo, capture_output=True, text=True, timeout=2700,
-    )
+    if not _procs:
+        _launch_all()
+    proc = _procs[shard]
+    try:
+        stdout, stderr = proc.communicate(timeout=2700)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        stdout, stderr = proc.communicate()
+        pytest.fail(f"quarantined shard {shard} ({SHARDS[shard]}) timed out")
     assert proc.returncode == 0, (
         f"quarantined shard {shard} ({SHARDS[shard]}) failed:\n"
-        f"{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}"
+        f"{stdout[-4000:]}\n{stderr[-2000:]}"
     )
